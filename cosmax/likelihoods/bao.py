@@ -1,0 +1,104 @@
+"""BAO likelihood (DESI DR2, SDSS DR16 and compilations).
+
+Theory: D_V/r_d, D_M/r_d, D_H/r_d selected per data point by integer
+quantity codes, against a dense covariance (reference bao/desi.py:47-83).
+All three distance families are computed for every point and combined
+with precomputed one-hot masks — branch-free, so the whole theory vector
+is one fused elementwise pass + weighted reductions under ``vmap``.
+
+r_d treatments (the reference encodes these by editing scripts):
+pass ``rd_fn(p) -> Mpc``; helpers below cover fixed r_d (bao/desi.py:7),
+a sampled ``rd`` (bao/desi_omh2.py:65-72), the H0-free ``rd_h`` combo
+(bao/desi_des5y.py:76-87) and the BBN-derived sound horizon at z_drag
+(bao/desi_bbn.py:14-19).
+"""
+
+from typing import Callable
+
+import numpy as np
+import jax.numpy as jnp
+
+from cosmax.likelihoods.base import Term
+from cosmax.models.background import e_of_z
+from cosmax.models.distances import (
+    comoving_distance_gl,
+    comoving_distance_trapz,
+    hubble_distance,
+    volume_distance,
+)
+from cosmax.models import recombination
+from cosmax.ops.quadrature import trapz_grid_weights
+from cosmax.ops.linalg import chi2_from_whitener
+from cosmax.data.loaders import CovDataset, QTY_DV, QTY_DM, QTY_DH
+
+
+def rd_fixed(value: float = 147.09) -> Callable:
+    return lambda p: value
+
+
+def rd_param(name: str = "rd") -> Callable:
+    return lambda p: p[name]
+
+
+def rd_over_h(name: str = "rd_h") -> Callable:
+    """H0-free fits sample the product r_d * h (bao/desi_des5y.py:99-104);
+    the BAO theory divides by r_d = (rd_h) / h with h = H0/100."""
+    return lambda p: p[name] / (p["H0"] / 100.0)
+
+
+def rd_from_z_drag(model: str, order: int = 128) -> Callable:
+    """r_d = r_s(z_drag) integrated from the background, as in
+    bao/desi_bbn.py:14-19. Requires radiation ('Or') and 'Obh2'."""
+
+    def fn(p):
+        wm = p["Om"] * (p["H0"] / 100.0) ** 2
+        zd = recombination.z_drag(p["Obh2"], wm)
+        return recombination.sound_horizon(zd, p, model, p["H0"], p["Obh2"], order)
+
+    return fn
+
+
+def build_bao_term(
+    dataset: CovDataset,
+    model: str,
+    rd_fn: Callable,
+    grid: tuple = ("gl", 64),
+    name: str = "bao",
+) -> Term:
+    """grid: ('gl', order) fast path | ('dyn_trapz', n_base) or
+    ('fixed_trapz', n) parity paths matching the reference's
+    per-script discretisations (bao/desi.py:34 uses 300,
+    bao/desi_cmb_des5y.py:63 uses 250, quasars/qsr_desi.py:39-41
+    uses fixed 3000-pt grids)."""
+    z = np.asarray(dataset.z, dtype=np.float64)
+    qty = np.asarray(dataset.quantity)
+    values = np.asarray(dataset.values, dtype=np.float64)
+    linv = dataset.linv
+    mask_dv = (qty == QTY_DV).astype(np.float64)
+    mask_dm = (qty == QTY_DM).astype(np.float64)
+    mask_dh = (qty == QTY_DH).astype(np.float64)
+
+    kind = grid[0]
+    if kind in ("dyn_trapz", "fixed_trapz"):
+        tgrid, tw = trapz_grid_weights(z, grid[1], dynamic=(kind == "dyn_trapz"))
+
+        def dm_of(p):
+            return comoving_distance_trapz(p, model, tgrid, tw)
+
+    elif kind == "gl":
+        order = grid[1]
+
+        def dm_of(p):
+            return comoving_distance_gl(z, p, model, order=order)
+
+    else:
+        raise ValueError(f"unknown grid mode {grid!r}")
+
+    def chi2(p):
+        dh = hubble_distance(z, p, model)
+        dm = dm_of(p)
+        dv = volume_distance(z, dh, dm)
+        theory = (mask_dh * dh + mask_dm * dm + mask_dv * dv) / rd_fn(p)
+        return chi2_from_whitener(linv, values - theory)
+
+    return Term(name=name, chi2=chi2, meta=dict(n=dataset.n, legend=dataset.legend))

@@ -1,0 +1,71 @@
+"""Growth-rate fsigma8 likelihood with Alcock-Paczynski correction.
+
+Theory fsigma8(z) from the jitted growth ODE (cosmax.models.growth).
+Each data point carries the fiducial Omega_m of its source survey; the
+AP factor is
+
+    q_i = E(z_i) D_M(z_i) / (E_fid(z_i) D_M_fid(z_i))
+
+(reference fs8/fs8.py:31-32,75). The fiducial denominators are
+parameter-independent and precomputed with scipy at build time; the
+model numerators are Gauss-Legendre. An error-rescaling nuisance
+``f_err`` enters as chi^2 / f_err^2 with normalisation -N ln f_err
+(fs8/fs8.py:72-85).
+"""
+
+import numpy as np
+import scipy.integrate
+import jax.numpy as jnp
+
+from cosmax.likelihoods.base import Term
+from cosmax.models.background import e_of_z
+from cosmax.models.growth import fsigma8
+from cosmax.models.distances import comoving_integral_gl
+from cosmax.ops.linalg import chi2_from_whitener
+from cosmax.data.loaders import CovDataset
+
+
+def _fiducial_denominator(z, om_fid):
+    """E_fid(z) * DM_fid(z) per point for flat LCDM fiducials, in the
+    reference's dimensionless convention DM = int dz'/E (fs8/fs8.py:26-32)."""
+    out = np.empty(z.size, dtype=np.float64)
+    for i, (zi, omi) in enumerate(zip(z, om_fid)):
+        e = lambda zp: np.sqrt(omi * (1 + zp) ** 3 + (1 - omi))
+        integral = scipy.integrate.quad(lambda zp: 1.0 / e(zp), 0.0, zi)[0]
+        out[i] = e(zi) * integral
+    return out
+
+
+def build_fs8_term(
+    dataset: CovDataset,
+    model: str,
+    f_err_param: str = "f_err",
+    gl_order: int = 64,
+    ode_substeps: int = 4,
+    name: str = "fs8",
+) -> Term:
+    z = np.asarray(dataset.z, dtype=np.float64)
+    fs8_obs = np.asarray(dataset.values, dtype=np.float64)
+    linv = dataset.linv
+    n = dataset.n
+    fid_denom = _fiducial_denominator(z, np.asarray(dataset.omega_fid))
+
+    def residual(p):
+        theory = fsigma8(z, p, model, substeps=ode_substeps)
+        e_model = e_of_z(jnp.asarray(z), p, model)
+        dm_model = comoving_integral_gl(z, p, model, order=gl_order)
+        q = e_model * dm_model / fid_denom
+        return fs8_obs * q - theory
+
+    def chi2(p):
+        f = p[f_err_param] if f_err_param else 1.0
+        return chi2_from_whitener(linv, residual(p)) / f**2
+
+    def log_norm(p):
+        if not f_err_param:
+            return jnp.zeros(())
+        return -n * jnp.log(p[f_err_param])
+
+    return Term(
+        name=name, chi2=chi2, log_norm=log_norm, meta=dict(n=n, legend=dataset.legend)
+    )

@@ -1,0 +1,18 @@
+"""Test configuration: CPU-only with 8 virtual devices (for sharding
+tests) and float64 enabled (parity mode vs the reference's numpy f64).
+
+Must run before any jax import in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
