@@ -30,7 +30,7 @@ def sdss():
         ("w0wacdm", {"H0": 66.0, "Om": 0.32, "w0": -0.7, "wa": -0.9}),
     ],
 )
-def test_chi2_matches_oracle_1e6(desi, model, params):
+def test_chi2_matches_oracle_1e6(x64, desi, model, params):
     term = build_bao_term(desi, model, rd_fixed(147.09), grid=("dyn_trapz", 300))
     got = float(term.chi2(params))
     delta = desi.values - oracles.bao_theory(
@@ -53,26 +53,26 @@ def test_chi2_matches_oracle_1e6(desi, model, params):
     assert got == pytest.approx(want, abs=1e-6)
 
 
-def test_published_chi2_desi_lcdm(desi):
+def test_published_chi2_desi_lcdm(x64, desi):
     """bao/desi.py docstring: chi2 = 10.27 at h=0.690, Om=0.298."""
     term = build_bao_term(desi, "lcdm", rd_fixed(147.09), grid=("dyn_trapz", 300))
     assert float(term.chi2({"H0": 69.0, "Om": 0.298})) == pytest.approx(10.27, abs=0.01)
 
 
-def test_published_chi2_desi_wzcdm(desi):
+def test_published_chi2_desi_wzcdm(x64, desi):
     """bao/desi.py docstring: chi2 = 8.44 at h=0.670, Om=0.308, w0=-0.832."""
     term = build_bao_term(desi, "wzcdm", rd_fixed(147.09), grid=("dyn_trapz", 300))
     got = float(term.chi2({"H0": 67.0, "Om": 0.308, "w0": -0.832}))
     assert got == pytest.approx(8.44, abs=0.01)
 
 
-def test_published_chi2_sdss_lcdm(sdss):
+def test_published_chi2_sdss_lcdm(x64, sdss):
     """bao/desi.py docstring (SDSS block): chi2 = 11.81 at h=0.688, Om=0.294."""
     term = build_bao_term(sdss, "lcdm", rd_fixed(147.09), grid=("dyn_trapz", 300))
     assert float(term.chi2({"H0": 68.8, "Om": 0.294})) == pytest.approx(11.81, abs=0.02)
 
 
-def test_gl_fast_path_agrees_with_parity_path(desi):
+def test_gl_fast_path_agrees_with_parity_path(x64, desi):
     gl = build_bao_term(desi, "wzcdm", rd_fixed(147.09), grid=("gl", 64))
     tz = build_bao_term(desi, "wzcdm", rd_fixed(147.09), grid=("dyn_trapz", 300))
     p = {"H0": 67.0, "Om": 0.308, "w0": -0.832}

@@ -10,20 +10,20 @@ from cosmax.ops.quadrature import (
 )
 
 
-def test_gl_exact_for_polynomials():
+def test_gl_exact_for_polynomials(x64):
     # order-n GL is exact for degree 2n-1
     val = float(gl_integrate_01(lambda t: 7 * t**6, 8))
     assert abs(val - 1.0) < 1e-14
 
 
-def test_gl_vs_quad_smooth():
+def test_gl_vs_quad_smooth(x64):
     f = lambda t: np.exp(-t) / (1 + t**2)
     want = scipy.integrate.quad(f, 0, 1)[0]
     got = float(gl_integrate_01(lambda t: jnp.exp(-t) / (1 + t**2), 32))
     assert abs(got - want) < 1e-13
 
 
-def test_cumtrapz_matches_scipy():
+def test_cumtrapz_matches_scipy(x64):
     x = np.linspace(0, 2.3, 57)
     y = np.sin(x) + 0.3 * x
     want = scipy.integrate.cumulative_trapezoid(y, x, initial=0)
@@ -31,7 +31,7 @@ def test_cumtrapz_matches_scipy():
     np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-15)
 
 
-def test_trapz_grid_weights_match_np_trapz():
+def test_trapz_grid_weights_match_np_trapz(x64):
     z_pts = np.array([0.3, 0.51, 1.0, 2.33])
     grid, w = trapz_grid_weights(z_pts, 300)
     f = lambda x: 1.0 / np.sqrt(0.3 * (1 + x) ** 3 + 0.7)
@@ -42,7 +42,7 @@ def test_trapz_grid_weights_match_np_trapz():
         assert abs(got[i] - want) < 1e-13
 
 
-def test_trapz_fixed_mode():
+def test_trapz_fixed_mode(x64):
     z_pts = np.array([0.5, 1.4])
     grid, w = trapz_grid_weights(z_pts, 100, dynamic=False)
     assert grid.shape == (2, 100)
@@ -53,7 +53,7 @@ def test_trapz_fixed_mode():
         assert abs(got[i] - np.trapezoid(f(x), x)) < 1e-14
 
 
-def test_gauss_legendre_cached():
+def test_gauss_legendre_cached(x64):
     a = gauss_legendre(64)
     b = gauss_legendre(64)
     assert a[0] is b[0]
