@@ -1,0 +1,145 @@
+"""CLI driver — one composable entry point replacing the reference's
+~40 ``python3 -m <pkg>.<script>`` analysis modules (README.md:9-17).
+
+Examples::
+
+    python -m cosmax.fit --preset bao.desi --model lcdm
+    python -m cosmax.fit --preset bao.desi_cmb_des5y --model w0wacdm \
+        --steps 2200 --walkers 150 --seed 42 --out results/flagship
+    python -m cosmax.fit --list
+
+Outputs the reference-style summary block to stdout and, with --out,
+a summary.json plus corner/trace PNGs.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="cosmax.fit", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    p.add_argument("--preset", help="preset name, e.g. bao.desi")
+    p.add_argument("--model", default="wzcdm",
+                   choices=["lcdm", "wcdm", "wzcdm", "w0wacdm"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="override preset n_steps (incl. burn-in)")
+    p.add_argument("--walkers", type=int, default=None)
+    p.add_argument("--burn-in", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--thin", type=int, default=1)
+    p.add_argument("--moves", default=None,
+                   choices=[None, "reference", "stretch"],
+                   help="override move mixture")
+    p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file; resumes if present")
+    p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--x64", action="store_true",
+                   help="float64 parity mode (slow on TPU)")
+    p.add_argument("--list", action="store_true", help="list presets")
+    args = p.parse_args(argv)
+
+    from cosmax.configs import get_preset, list_presets
+
+    if args.list:
+        from cosmax.configs.presets import PRESETS
+
+        for name in list_presets():
+            fit = None
+            try:
+                fit = get_preset(name, "wzcdm")
+                print(f"{name:28s} {fit.note}")
+            except Exception as e:
+                print(f"{name:28s} (unavailable: {e})")
+        return 0
+
+    if not args.preset:
+        p.error("--preset is required (or --list)")
+
+    if args.x64:
+        import cosmax
+
+        cosmax.enable_x64()
+
+    import numpy as np
+    import jax
+
+    from cosmax.samplers import EnsembleSampler
+    from cosmax.samplers.ensemble import uniform_init, stretch_only, default_moves
+    from cosmax.report import summarize, format_summary, plots
+
+    fit = get_preset(args.preset, args.model)
+    n_walkers = args.walkers or fit.n_walkers
+    n_steps = args.steps or fit.n_steps
+    burn_in = args.burn_in if args.burn_in is not None else fit.burn_in
+    seed = args.seed if args.seed is not None else (fit.seed or 0)
+    moves = (
+        stretch_only() if args.moves == "stretch"
+        else default_moves() if args.moves == "reference"
+        else fit.moves
+    )
+    if n_walkers % 2:
+        n_walkers += 1
+
+    print(f"# {fit.name} [{fit.model}]  {fit.note}")
+    print(f"# params: {', '.join(fit.spec.names)}")
+    print(f"# {n_walkers} walkers x {n_steps} steps (burn-in {burn_in}), "
+          f"seed {seed}, devices: {jax.devices()}")
+
+    sampler = EnsembleSampler(
+        fit.log_prob(), n_walkers, fit.spec.dim, moves=moves
+    )
+    key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
+    initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
+
+    t0 = time.time()
+    if args.checkpoint:
+        from cosmax.samplers.checkpoints import run_with_checkpoints
+
+        state, chain = run_with_checkpoints(
+            sampler, key_run, initial, n_steps, args.checkpoint,
+            every=args.checkpoint_every, thin=args.thin,
+        )
+    else:
+        state, chain = sampler.run(key_run, initial, n_steps, thin=args.thin)
+    chain.samples.block_until_ready()
+    dt = time.time() - t0
+    evals = n_steps * n_walkers
+    print(f"# sampled {evals} log-prob evals in {dt:.1f}s "
+          f"({evals / dt:.0f} evals/s incl. compile)")
+
+    summary = summarize(fit, chain, discard=burn_in // args.thin)
+    summary["walltime_sec"] = dt
+    summary["evals_per_sec"] = evals / dt
+    print(format_summary(summary))
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+        np.save(
+            os.path.join(args.out, "chain.npy"),
+            np.asarray(chain.samples)[burn_in // args.thin :],
+        )
+        if not args.no_plots:
+            flat = np.asarray(chain.flat(discard=burn_in // args.thin))
+            plots.corner(flat, labels=list(fit.spec.names)).savefig(
+                os.path.join(args.out, "corner.png"), dpi=120
+            )
+            plots.trace(
+                np.asarray(chain.samples), labels=list(fit.spec.names)
+            ).savefig(os.path.join(args.out, "trace.png"), dpi=100)
+        print(f"# wrote {args.out}/summary.json, chain.npy"
+              + ("" if args.no_plots else ", corner.png, trace.png"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

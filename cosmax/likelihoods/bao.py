@@ -46,6 +46,22 @@ def rd_over_h(name: str = "rd_h") -> Callable:
     return lambda p: p[name] / (p["H0"] / 100.0)
 
 
+def rd_from_r_drag(which: str = "aizpuru", n_eff: float = 3.04) -> Callable:
+    """r_d from a published fitting formula of (wb, wm):
+    'aizpuru' = arXiv:2106.00428 eq 8 (bao/desi_union3_bbn.py:10,84) or
+    'desi' = arXiv:2503.14738 eq 2 (bao/desi_des5y_bbn.py:27-31)."""
+
+    def fn(p):
+        wm = p["Om"] * (p["H0"] / 100.0) ** 2
+        if which == "aizpuru":
+            return recombination.r_drag_aizpuru(p["Obh2"], wm)
+        if which == "desi":
+            return recombination.r_drag_desi(p["Obh2"], wm, n_eff)
+        raise ValueError(which)
+
+    return fn
+
+
 def rd_from_z_drag(model: str, order: int = 128) -> Callable:
     """r_d = r_s(z_drag) integrated from the background, as in
     bao/desi_bbn.py:14-19. Requires radiation ('Or') and 'Obh2'."""

@@ -49,10 +49,13 @@ def build_cc_term(
         scale = f**-2 if convention == "divide" else f**2
         return scale * base_chi2(p)
 
+    # Constant part folded at build time in f64 (keeps the fast f32 path
+    # from rounding the large N ln 2pi + ln|C| constant).
+    const_norm = -0.5 * (n * np.log(2.0 * np.pi) + logdet)
+    sign = 1.0 if convention == "divide" else -1.0
+
     def log_norm(p):
-        f = p[f_param]
-        sign = 1.0 if convention == "divide" else -1.0
-        return -0.5 * (n * jnp.log(2.0 * jnp.pi) + logdet + sign * 2.0 * n * jnp.log(f))
+        return const_norm - sign * n * jnp.log(p[f_param])
 
     return Term(
         name=name, chi2=chi2, log_norm=log_norm, meta=dict(n=n, legend=dataset.legend)

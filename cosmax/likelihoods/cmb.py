@@ -37,6 +37,10 @@ class Compression:
     o_gamma_h2: float
     n_eff: float
     observables: str  # 'R_lA_wb' | 'theta_wb_wm' | 'R_100theta_wb'
+    # z* fitting formula: 'aizpuru' (arXiv:2106.00428 eq A4) everywhere
+    # except the Union3 compression, which uses Hu & Sugiyama 1996
+    # (reference cmb/data_union3_compression.py:89-97).
+    z_star_variant: str = "aizpuru"
 
     def omega_r_h2(self) -> float:
         return self.o_gamma_h2 * (1.0 + 0.2271 * self.n_eff)
@@ -106,6 +110,7 @@ COMPRESSIONS = {
         o_gamma_h2=2.4729e-5,
         n_eff=3.04,
         observables="R_100theta_wb",
+        z_star_variant="hu",
     ),
 }
 
@@ -120,7 +125,12 @@ def cmb_observables(comp: Compression, p: dict, model: str, order: int = 128):
     """
     h0, om, wb = p["H0"], p["Om"], p["Obh2"]
     wm = om * (h0 / 100.0) ** 2
-    zstar = recombination.z_star(wb, wm)
+    z_star_fn = (
+        recombination.z_star_hu
+        if comp.z_star_variant == "hu"
+        else recombination.z_star
+    )
+    zstar = z_star_fn(wb, wm)
     rs_star = recombination.sound_horizon(
         zstar, p, model, h0, wb, order=order, o_gamma_h2=comp.o_gamma_h2
     )

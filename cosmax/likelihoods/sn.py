@@ -54,7 +54,9 @@ def build_sn_term(
         inv_e = 1.0 / e_of_z(jnp.asarray(z_grid), p, model)
         integral = jnp.interp(z_cmb, z_grid, cumtrapz(inv_e, z_grid))
         if h0 is None:
-            mu = 25.0 + 5.0 * jnp.log10(one_plus_z_hel * integral)
+            # H0-free: mu = 25 + 5 log10((1+z_hel) * c * I); the offset
+            # parameter absorbs -5 log10(H0) (bao/desi_des5y.py:34-37).
+            mu = 25.0 + 5.0 * jnp.log10(one_plus_z_hel * C_KM_S * integral)
         else:
             h0_val = p[h0] if isinstance(h0, str) else h0
             mu = 25.0 + 5.0 * jnp.log10(one_plus_z_hel * (C_KM_S / h0_val) * integral)

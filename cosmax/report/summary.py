@@ -1,0 +1,117 @@
+"""Posterior summaries matching the reference's per-run reporting
+(SURVEY.md SS2.6): median +/- percentile errors, chi^2 at the median,
+dof, acceptance, autocorrelation time, ESS, R-hat, skew/kurtosis of the
+first probe's residuals, correlation matrix, and derived parameters
+(Om h^2, z_eq, z*, z_drag, r*, r_d, S8) where the sampled parameters
+allow them — emitted as a JSON-able dict instead of ANSI prints.
+"""
+
+import numpy as np
+
+from cosmax.samplers.diagnostics import (
+    autocorr_time,
+    effective_samples,
+    gelman_rubin,
+    percentile_summary,
+    correlation_matrix,
+)
+from cosmax.models import recombination as rec
+
+
+def _scalar_stats(x):
+    p16, p50, p84 = np.percentile(x, [15.9, 50, 84.1])
+    return {"median": p50, "plus": p84 - p50, "minus": p50 - p16}
+
+
+def derived_posteriors(fit, flat):
+    """Derived-parameter posteriors as in cmb/cmb.py:98-116 and
+    fs8/fs8.py:159-160 (S8)."""
+    names = fit.spec.names
+    cols = {n: flat[:, i] for i, n in enumerate(names)}
+    out = {}
+    if "H0" in cols or "h" in cols:
+        h = cols["h"] if "h" in cols else cols["H0"] / 100.0
+        if "Om" in cols:
+            omh2 = cols["Om"] * h**2
+            out["Omh2"] = _scalar_stats(omh2)
+            if "Obh2" in cols:
+                wb = cols["Obh2"]
+                out["z_star"] = _scalar_stats(rec.z_star(wb, omh2))
+                out["z_drag"] = _scalar_stats(rec.z_drag(wb, omh2))
+                out["r_drag"] = _scalar_stats(rec.r_drag_aizpuru(wb, omh2))
+    if "sigma8" in cols and "Om" in cols:
+        s8 = cols["sigma8"] * np.sqrt(cols["Om"] / 0.3)
+        out["S8"] = _scalar_stats(s8)
+    return out
+
+
+def summarize(fit, chain, discard: int = None, thin: int = 1) -> dict:
+    """Full summary dict for a finished chain."""
+    discard = fit.burn_in if discard is None else discard
+    samples = np.asarray(chain.samples)[discard::thin]
+    flat = samples.reshape(-1, samples.shape[-1])
+    names = fit.spec.names
+
+    summ = percentile_summary(flat, names)
+    medians = np.array([summ[n][0] for n in names])
+    chis = {k: float(v) for k, v in fit.chi2_breakdown()(medians).items()}
+    logp = float(fit.log_prob()(medians))
+
+    try:
+        taus = autocorr_time(samples)
+        ess = float(effective_samples(samples, taus))
+        taus = taus.tolist()
+    except Exception:
+        taus, ess = None, None
+
+    out = {
+        "preset": fit.name,
+        "model": fit.model,
+        "legend": " + ".join(
+            str(t.meta.get("legend", t.name)) for t in fit.terms
+        ),
+        "params": {
+            n: {"median": m, "plus": p, "minus": mi}
+            for n, (m, p, mi) in summ.items()
+        },
+        "chi2": chis,
+        "chi2_total": float(sum(chis.values())),
+        "log_prob_at_median": logp,
+        "dof": fit.dof,
+        "acceptance_fraction": float(chain.acceptance_fraction),
+        "autocorr_time": taus,
+        "effective_samples": ess,
+        "gelman_rubin": gelman_rubin(samples).tolist(),
+        "correlation_matrix": correlation_matrix(flat).tolist(),
+        "derived": derived_posteriors(fit, flat),
+        "n_samples": int(flat.shape[0]),
+    }
+    return out
+
+
+def format_summary(summary: dict) -> str:
+    """Human-readable block in the reference's print style
+    (bao/desi.py:156-162)."""
+    lines = [
+        f"{summary['legend']}  [{summary['preset']} / {summary['model']}]",
+        "-" * 60,
+    ]
+    for name, s in summary["params"].items():
+        lines.append(
+            f"{name}: {s['median']:.4f} +{s['plus']:.4f} -{s['minus']:.4f}"
+        )
+    for name, s in summary.get("derived", {}).items():
+        lines.append(
+            f"{name} (derived): {s['median']:.4f} +{s['plus']:.4f} -{s['minus']:.4f}"
+        )
+    chi_parts = ", ".join(f"{k}={v:.2f}" for k, v in summary["chi2"].items())
+    lines.append(f"Chi squared: {summary['chi2_total']:.2f} ({chi_parts})")
+    lines.append(f"Degs of freedom: {summary['dof']}")
+    lines.append(f"Acceptance fraction: {summary['acceptance_fraction']:.3f}")
+    if summary["autocorr_time"] is not None:
+        taus = ", ".join(f"{t:.1f}" for t in summary["autocorr_time"])
+        lines.append(f"Autocorrelation time: [{taus}]")
+        lines.append(f"Effective samples: {summary['effective_samples']:.0f}")
+    rhat = ", ".join(f"{r:.4f}" for r in summary["gelman_rubin"])
+    lines.append(f"Gelman-Rubin R-hat: [{rhat}]")
+    return "\n".join(lines)

@@ -1,0 +1,71 @@
+"""Sampler-state checkpointing for preemptible TPUs.
+
+The reference keeps chains only in memory (emcee's HDF backend is never
+used — SURVEY.md SS5). Here the full sampler state (walkers, log-probs,
+PRNG key, step counter) round-trips through a single npz file;
+``EnsembleSampler.run_from_state`` resumes bit-exactly (the sampler is
+a pure function of its state). Orbax is intentionally not required —
+the state is a few KB and a flat npz keeps the artifact portable.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cosmax.samplers.ensemble import ChainState
+
+
+def save_state(path: str, state: ChainState, metadata: dict = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    key_data = np.asarray(jax.random.key_data(state.key))
+    np.savez(
+        path,
+        walkers=np.asarray(state.walkers),
+        log_probs=np.asarray(state.log_probs),
+        key_data=key_data,
+        step=np.asarray(state.step),
+        **{f"meta_{k}": np.asarray(v) for k, v in (metadata or {}).items()},
+    )
+
+
+def load_state(path: str) -> ChainState:
+    with np.load(path) as z:
+        key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+        return ChainState(
+            walkers=jnp.asarray(z["walkers"]),
+            log_probs=jnp.asarray(z["log_probs"]),
+            key=key,
+            step=jnp.asarray(z["step"]),
+        )
+
+
+def run_with_checkpoints(
+    sampler, key, initial, n_steps: int, path: str, every: int = 500, thin: int = 1
+):
+    """Run in ``every``-step segments, checkpointing after each; resumes
+    automatically if ``path`` already holds a state."""
+    if os.path.exists(path):
+        state = load_state(path)
+        done = int(state.step)
+    else:
+        state = sampler.init_state(key, initial)
+        done = 0
+    chains = []
+    while done < n_steps:
+        # Fixed segment length: every distinct scan length is a separate
+        # XLA compile, so always run `every` steps and trim afterwards
+        # (a few extra MCMC steps are harmless and determinism is kept).
+        state, chain = sampler.run_from_state(state, every, thin=thin)
+        save_state(path, state)
+        chains.append(chain)
+        done += every
+    if not chains:
+        return state, None
+    import jax.tree_util as jtu
+
+    merged = jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *chains)
+    keep = -(-n_steps // thin)  # ceil
+    merged = jtu.tree_map(lambda x: x[:keep], merged)
+    return state, merged

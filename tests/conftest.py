@@ -20,6 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+
+# The axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") at interpreter start, which overrides the env var — force
+# CPU back programmatically so tests really run on the host.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest
 
 # Persistent compilation cache: this container's single-core XLA:CPU is

@@ -1,0 +1,75 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmax.parallel import (
+    make_mesh,
+    shard_walkers,
+    sharded_batched_log_prob,
+    data_sharded_chi2,
+)
+from cosmax.samplers import EnsembleSampler, stretch_only
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+ICOV = np.linalg.inv(np.array([[1.0, 0.6], [0.6, 2.0]]))
+
+
+def lp(x):
+    w = x @ jnp.asarray(ICOV)
+    return -0.5 * jnp.sum(w * x)
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.shape == {"w": 8, "d": 1}
+    m2 = make_mesh(walkers=4, data=2)
+    assert m2.shape == {"w": 4, "d": 2}
+    with pytest.raises(ValueError):
+        make_mesh(walkers=3, data=2)
+
+
+def test_sharded_log_prob_matches_vmap():
+    mesh = make_mesh(walkers=4, data=2)
+    walkers = jax.random.normal(jax.random.PRNGKey(0), (64, 2))
+    got = np.asarray(sharded_batched_log_prob(lp, mesh)(walkers))
+    want = np.asarray(jax.vmap(lp)(walkers))
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_data_sharded_chi2_matches_dense():
+    from cosmax.ops.linalg import whitening_operator, chi2_from_whitener
+
+    rng = np.random.default_rng(0)
+    n = 37  # deliberately not divisible by the d-axis size
+    a = rng.normal(size=(n, n))
+    cov = a @ a.T + n * np.eye(n)
+    linv = whitening_operator(cov)
+    delta = rng.normal(size=(16, n)).astype(np.float32)
+    mesh = make_mesh(walkers=2, data=4)
+    got = np.asarray(data_sharded_chi2(linv, mesh)(jnp.asarray(delta)))
+    want = np.asarray(chi2_from_whitener(jnp.asarray(linv, dtype=jnp.float32), delta))
+    np.testing.assert_allclose(got, want, rtol=5e-5)
+
+
+def test_sharded_sampler_runs_and_mixes():
+    """Full ensemble run with the walker axis sharded over 8 devices."""
+    mesh = make_mesh()
+    s = EnsembleSampler(
+        lp, 64, 2, moves=stretch_only(),
+        vmapped_log_prob=sharded_batched_log_prob(lp, mesh),
+    )
+    init = shard_walkers(
+        mesh, jax.random.normal(jax.random.PRNGKey(1), (64, 2))
+    )
+    state, chain = s.run(jax.random.PRNGKey(0), init, 600)
+    flat = np.asarray(chain.flat(discard=200))
+    np.testing.assert_allclose(flat.mean(axis=0), [0, 0], atol=0.2)
+    assert 0.1 < float(chain.acceptance_fraction) < 0.9
