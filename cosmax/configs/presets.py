@@ -151,12 +151,19 @@ def list_presets():
     return sorted(PRESETS)
 
 
-def get_preset(name: str, model: str = "wzcdm", **kwargs) -> FitSpec:
+def get_preset(name: str, model: str = "wzcdm", fast: bool = False, **kwargs) -> FitSpec:
+    """Build a preset. ``fast=True`` swaps the reference-matched parity
+    discretisations for the production TPU path (GL BAO distances,
+    compressed Chebyshev-basis SN chi^2) — same physics, converged
+    beyond the reference's own discretisation error."""
     if name not in PRESETS:
         raise KeyError(
             f"unknown preset {name!r}; available: {', '.join(list_presets())}"
         )
-    fit = PRESETS[name](model, **kwargs)
+    from cosmax.likelihoods.fastmode import use_fast_mode
+
+    with use_fast_mode(fast):
+        fit = PRESETS[name](model, **kwargs)
     if fit.moves is None:
         fit = replace(fit, moves=default_moves())
     return fit

@@ -86,6 +86,10 @@ def build_bao_term(
     per-script discretisations (bao/desi.py:34 uses 300,
     bao/desi_cmb_des5y.py:63 uses 250, quasars/qsr_desi.py:39-41
     uses fixed 3000-pt grids)."""
+    from cosmax.likelihoods.fastmode import fast_mode, GL_ORDER
+
+    if fast_mode():
+        grid = ("gl", GL_ORDER)
     z = np.asarray(dataset.z, dtype=np.float64)
     qty = np.asarray(dataset.quantity)
     values = np.asarray(dataset.values, dtype=np.float64)
