@@ -1,0 +1,101 @@
+"""Deterministic point fits — a capability the reference lacks
+(it only reports MCMC medians; SURVEY.md SS2.5 notes "no scipy
+least-squares anywhere").
+
+* ``minimize_chi2`` — damped-Newton / Levenberg-Marquardt on the total
+  chi^2 using exact ``jax.grad`` + ``jax.hessian`` (parameter spaces
+  here are <= 8-dim, so the Hessian is cheap and the quadratic model is
+  exact for the Gaussian terms);
+* ``adam_minimize`` — optax Adam under ``lax.scan`` for rough descent
+  (the GP module uses the same pattern, cosmax/gp/exact_gp.py).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def adam_minimize(loss_fn, x0, iters: int = 1000, lr: float = 1e-2):
+    import optax
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(x):
+        state = opt.init(x)
+
+        def step(carry, _):
+            xx, ss = carry
+            loss, grads = jax.value_and_grad(loss_fn)(xx)
+            updates, ss = opt.update(grads, ss, xx)
+            return (optax.apply_updates(xx, updates), ss), loss
+
+        (x, _), losses = jax.lax.scan(step, (x, state), None, length=iters)
+        return x, losses
+
+    x, losses = run(jnp.asarray(x0))
+    return x, np.asarray(losses)
+
+
+def minimize_chi2(
+    chi2_fn,
+    x0,
+    bounds=None,
+    iters: int = 100,
+    lam0: float = 1e-3,
+    tol: float = 1e-10,
+):
+    """Levenberg-damped Newton on a scalar chi^2.
+
+    chi2_fn: jittable [D] -> scalar; bounds [D, 2] optional clipping.
+    Returns (x_best, chi2_best, info). Runs the trust-region damping
+    loop on host (cheap: tens of Hessian evals of a small jitted fn).
+    """
+    grad_fn = jax.jit(jax.grad(chi2_fn))
+    hess_fn = jax.jit(jax.hessian(chi2_fn))
+    chi2_jit = jax.jit(chi2_fn)
+
+    x = np.asarray(x0, dtype=np.float64)
+    lam = lam0
+    f = float(chi2_jit(x))
+    n_evals = 1
+    for it in range(iters):
+        g = np.asarray(grad_fn(x), dtype=np.float64)
+        h = np.asarray(hess_fn(x), dtype=np.float64)
+        for _ in range(25):
+            try:
+                step = np.linalg.solve(h + lam * np.diag(np.diag(h) + 1e-12), -g)
+            except np.linalg.LinAlgError:
+                lam *= 10.0
+                continue
+            x_new = x + step
+            if bounds is not None:
+                b = np.asarray(bounds, dtype=np.float64)
+                x_new = np.clip(x_new, b[:, 0] + 1e-9, b[:, 1] - 1e-9)
+            f_new = float(chi2_jit(x_new))
+            n_evals += 1
+            if np.isfinite(f_new) and f_new < f:
+                lam = max(lam / 3.0, 1e-12)
+                improvement = f - f_new
+                x, f = x_new, f_new
+                break
+            lam *= 10.0
+        else:
+            break
+        if improvement < tol * max(1.0, abs(f)):
+            break
+    return x, f, dict(iterations=it + 1, chi2_evals=n_evals, lambda_=lam)
+
+
+def best_fit(fit, x0=None, **kwargs):
+    """Point estimate for a FitSpec: LM-Newton on the total chi^2 from
+    the bounds midpoint (or x0)."""
+    breakdown = fit.chi2_breakdown()
+
+    def total(theta):
+        return sum(breakdown(theta).values())
+
+    if x0 is None:
+        x0 = 0.5 * (fit.spec.bounds[:, 0] + fit.spec.bounds[:, 1])
+    x, f, info = minimize_chi2(total, x0, bounds=fit.spec.bounds, **kwargs)
+    return {name: float(v) for name, v in zip(fit.spec.names, x)}, f, info

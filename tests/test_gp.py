@@ -1,0 +1,65 @@
+"""GP reconstruction vs the reference's published hyperparameters
+(cosmic_chronometers/cc_gp.py:63-64: lengthscale ~ 2.366,
+noise_scale ~ 0.699^2 ~ 0.489)."""
+
+import numpy as np
+import pytest
+
+from cosmax.data import load_cc
+from cosmax.gp import fit_gp, reconstruct_hz, ExactGP, GPParams
+
+
+@pytest.fixture(scope="module")
+def cc():
+    return load_cc()
+
+
+@pytest.fixture(scope="module")
+def fitted(cc):
+    return reconstruct_hz(cc.z, cc.values, cc.cov, iters=3000)
+
+
+def test_hyperparameters_match_reference(fitted):
+    info = fitted["info"]
+    assert info["lengthscale"] == pytest.approx(2.366, abs=0.05)
+    assert info["noise_scale"] == pytest.approx(0.489, abs=0.03)
+
+
+def test_h0_reconstruction(fitted):
+    h0, sigma = fitted["h_mean"][0], fitted["h_std"][0]
+    assert h0 == pytest.approx(67.5, abs=2.0)
+    assert 2.0 < sigma < 8.0
+
+
+def test_qz_negative_today_positive_early(fitted):
+    """Deceleration parameter: accelerating today (q<0), decelerating
+    at high z (q>0)."""
+    q = fitted["q"]
+    z = fitted["z_grid"]
+    assert q[0] < 0
+    assert q[z > 1.5][-1] > 0
+
+
+def test_mll_matches_direct_gaussian(x64, cc):
+    """The exact MLL equals the straightforward multivariate-normal
+    log density."""
+    gp, params, info = fit_gp(cc.z, cc.values, cc.cov, iters=1)
+    got = float(gp.mll(params))
+    c = np.asarray(gp.train_cov(params))
+    delta = np.asarray(gp.y) - float(params.mean_const)
+    n = len(delta)
+    want = -0.5 * (
+        delta @ np.linalg.solve(c, delta)
+        + np.linalg.slogdet(c)[1]
+        + n * np.log(2 * np.pi)
+    )
+    assert got == pytest.approx(want, rel=1e-8)
+
+
+def test_predict_interpolates_data(cc):
+    """With tiny noise the posterior mean at training points tracks the
+    (standardised) data within the observational errors."""
+    gp, params, info = fit_gp(cc.z, cc.values, cc.cov, iters=2000)
+    mean, cov = gp.predict(params, np.asarray(cc.z))
+    resid = (np.asarray(mean) * info["y_std"] + info["y_mean"]) - cc.values
+    assert np.abs(resid).max() < 3 * np.sqrt(np.diag(cc.cov)).max()

@@ -1,0 +1,38 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cosmax.samplers.optimize import minimize_chi2, adam_minimize, best_fit
+from cosmax.configs import get_preset
+
+
+def test_minimize_quadratic():
+    a = jnp.asarray(np.diag([1.0, 10.0, 100.0]))
+    target = jnp.asarray([1.0, -2.0, 0.5])
+    f = lambda x: (x - target) @ a @ (x - target)
+    x, fval, info = minimize_chi2(f, np.zeros(3))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(target), atol=1e-6)
+    assert fval < 1e-10
+
+
+def test_minimize_rosenbrock():
+    f = lambda x: (1 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+    x, fval, info = minimize_chi2(f, np.array([-1.0, 1.0]), iters=200)
+    np.testing.assert_allclose(np.asarray(x), [1.0, 1.0], atol=1e-4)
+
+
+def test_adam_minimize():
+    f = lambda x: jnp.sum((x - 3.0) ** 2)
+    x, losses = adam_minimize(f, np.zeros(2), iters=2000, lr=0.05)
+    np.testing.assert_allclose(np.asarray(x), [3.0, 3.0], atol=1e-2)
+    assert losses[-1] < losses[0]
+
+
+def test_best_fit_bao_lcdm(x64):
+    """Minimum chi^2 of the DESI BAO LCDM fit sits at the published
+    posterior medians (bao/desi.py docstring)."""
+    fit = get_preset("bao.desi", "lcdm")
+    params, chi2, info = best_fit(fit)
+    assert params["h"] == pytest.approx(0.690, abs=0.002)
+    assert params["Om"] == pytest.approx(0.298, abs=0.003)
+    assert chi2 == pytest.approx(10.27, abs=0.01)
