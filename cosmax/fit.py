@@ -136,9 +136,57 @@ def main(argv=None):
             plots.trace(
                 np.asarray(chain.samples), labels=list(fit.spec.names)
             ).savefig(os.path.join(args.out, "trace.png"), dpi=100)
+            _prediction_plots(fit, summary, args.out)
         print(f"# wrote {args.out}/summary.json, chain.npy"
-              + ("" if args.no_plots else ", corner.png, trace.png"))
+              + ("" if args.no_plots else ", corner.png, trace.png, predictions"))
     return 0
+
+
+def _prediction_plots(fit, summary, out_dir):
+    """Per-probe prediction + residual figures at the posterior median
+    (the reference's plot_predictions/plot_bao_predictions/
+    plot_cc_predictions panels)."""
+    import numpy as np
+
+    from cosmax.report import plots
+
+    medians = np.array([summary["params"][n]["median"] for n in fit.spec.names])
+    p = fit.derive(fit.spec.unpack(medians.astype(np.float64)))
+    for term in fit.terms:
+        kind = term.meta.get("plot_kind")
+        try:
+            if kind == "sn":
+                z = term.meta["z"]
+                order = np.argsort(z)
+                theory = np.asarray(term.meta["theory_mag"](p))
+                fig = plots.predictions_sn(
+                    z, term.meta["values"], term.meta["errors"],
+                    z[order], theory[order],
+                    title=str(term.meta.get("legend", term.name)),
+                )
+            elif kind == "bao":
+                curve = term.meta["theory_curve"]
+                fig = plots.predictions_bao(
+                    term.meta["z"], term.meta["values"], term.meta["errors"],
+                    term.meta["quantity"],
+                    lambda zg, q: np.asarray(curve(p, zg, q)),
+                    title=str(term.meta.get("legend", term.name)),
+                )
+            elif kind == "cc":
+                z = term.meta["z"]
+                zg = np.linspace(0.0, float(z.max()) * 1.05, 200)
+                fig = plots.predictions_cc(
+                    z, term.meta["values"], term.meta["errors"],
+                    zg, np.asarray(term.meta["theory_curve"](p, zg)),
+                    title=str(term.meta.get("legend", term.name)),
+                )
+            else:
+                continue
+            fig.savefig(
+                os.path.join(out_dir, f"predictions_{term.name}.png"), dpi=120
+            )
+        except Exception as e:  # plots must never kill a finished fit
+            print(f"# prediction plot for {term.name} failed: {e}")
 
 
 if __name__ == "__main__":

@@ -121,4 +121,26 @@ def build_bao_term(
         theory = (mask_dh * dh + mask_dm * dm + mask_dv * dv) / rd_fn(p)
         return chi2_from_whitener(linv, values - theory)
 
-    return Term(name=name, chi2=chi2, meta=dict(n=dataset.n, legend=dataset.legend))
+    def theory_curve(p, z_grid, which):
+        """Smooth D_{V,M,H}/r_d curve for plotting (which in {0,1,2})."""
+        zg = jnp.asarray(z_grid)
+        dh = hubble_distance(zg, p, model)
+        dm = comoving_distance_gl(zg, p, model, order=64)
+        dv = volume_distance(zg, dh, dm)
+        table = {QTY_DV: dv, QTY_DM: dm, QTY_DH: dh}
+        return table[which] / rd_fn(p)
+
+    return Term(
+        name=name,
+        chi2=chi2,
+        meta=dict(
+            n=dataset.n,
+            legend=dataset.legend,
+            plot_kind="bao",
+            z=z,
+            values=values,
+            errors=np.sqrt(np.diag(dataset.cov)),
+            quantity=qty,
+            theory_curve=theory_curve,
+        ),
+    )

@@ -41,8 +41,17 @@ def build_cc_term(
     def base_chi2(p):
         return chi2_from_whitener(linv, h_obs - hubble(z, p, model))
 
+    meta = dict(
+        n=n,
+        legend=dataset.legend,
+        plot_kind="cc",
+        z=z,
+        values=h_obs,
+        errors=np.sqrt(np.diag(dataset.cov)),
+        theory_curve=lambda p, zg: hubble(jnp.asarray(zg), p, model),
+    )
     if f_param is None:
-        return Term(name=name, chi2=base_chi2, meta=dict(n=n, legend=dataset.legend))
+        return Term(name=name, chi2=base_chi2, meta=meta)
 
     def chi2(p):
         f = p[f_param]
@@ -57,6 +66,4 @@ def build_cc_term(
     def log_norm(p):
         return const_norm - sign * n * jnp.log(p[f_param])
 
-    return Term(
-        name=name, chi2=chi2, log_norm=log_norm, meta=dict(n=n, legend=dataset.legend)
-    )
+    return Term(name=name, chi2=chi2, log_norm=log_norm, meta=meta)

@@ -83,15 +83,12 @@ def build_sn_term(
     """
     from cosmax.likelihoods.fastmode import fast_mode
 
-    if method == "dense" and fast_mode() and not cepheids:
+    if method == "dense" and fast_mode():
         method = "compressed"
     if method == "compressed":
-        if cepheids:
-            raise NotImplementedError(
-                "compressed SN mode does not support the Cepheid anchor yet"
-            )
         return _build_compressed_sn(
-            dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name
+            dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
+            cepheids=cepheids,
         )
     if method != "dense":
         raise ValueError(f"unknown SN method {method!r}")
@@ -132,12 +129,16 @@ def build_sn_term(
             theory_mag=theory_mag,
             values=mags,
             linv=linv,
+            plot_kind="sn",
+            z=z_cmb,
+            errors=np.sqrt(np.diag(dataset.cov)),
         ),
     )
 
 
 def _build_compressed_sn(
-    dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name
+    dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
+    cepheids: bool = False,
 ):
     import scipy.integrate
 
@@ -150,15 +151,31 @@ def _build_compressed_sn(
     )
     linv = dataset.linv
 
+    if cepheids:
+        # Cepheid-anchored rows are parameter-independent constants
+        # (mu_i = CEPH_DIST_i + M, sn/pantheon_and_sh0es.py:42-44):
+        # fold them into the constant vector and zero their basis rows,
+        # so only the magnitude column acts on them.
+        ceph_dist = np.asarray(dataset.ceph_dist, dtype=np.float64)
+        cal_mask = ceph_dist != -9
+    else:
+        cal_mask = np.zeros(z_cmb.size, dtype=bool)
+
     # --- build-time f64 geometry -------------------------------------
-    u_data = np.log(z_cmb)
-    nodes_u = _cheb_nodes(cheb_order, u_data.min(), u_data.max())
+    hubble_flow = ~cal_mask
+    u_data = np.where(hubble_flow, np.log(z_cmb), 0.0)
+    nodes_u = _cheb_nodes(
+        cheb_order, u_data[hubble_flow].min(), u_data[hubble_flow].max()
+    )
     z_nodes = np.exp(nodes_u)
     b_mat = _barycentric_matrix(nodes_u, u_data)  # [N, K]
+    b_mat[cal_mask] = 0.0
     b_tilde = np.concatenate([b_mat, np.ones((z_cmb.size, 1))], axis=1)
     p_mat = linv @ b_tilde  # [N, K+1]
 
     const = 25.0 + 5.0 * np.log10(one_plus_z_hel)
+    if cepheids:
+        const = np.where(cal_mask, ceph_dist, const)
     d_prime = mags - const
 
     # reference curve: flat LCDM Om=0.3 at the fixed/typical H0
@@ -217,5 +234,8 @@ def _build_compressed_sn(
             values=mags,
             linv=linv,
             method="compressed",
+            plot_kind="sn",
+            z=z_cmb,
+            errors=np.sqrt(np.diag(dataset.cov)),
         ),
     )

@@ -82,12 +82,19 @@ def test_fast_preset_uses_compressed():
     sn_slow = [t for t in slow.terms if t.name == "sn"][0]
     assert sn_fast.meta.get("method") == "compressed"
     assert sn_slow.meta.get("method") != "compressed"
-    # cepheid preset must still build in fast mode (falls back to dense)
-    shoes = get_preset("sn.pantheon_shoes", "wzcdm", fast=True)
-    assert [t for t in shoes.terms if t.name == "sn"]
 
 
-def test_cepheids_compressed_rejected():
+def test_cepheid_anchored_compressed(x64):
+    """SH0ES variant: calibrator rows are constants + M; compressed
+    matches a fine-grid dense evaluation."""
     ds = load_sn("pantheon_plus_shoes")
-    with pytest.raises(NotImplementedError):
-        build_sn_term(ds, "wzcdm", "M", h0="H0", cepheids=True, method="compressed")
+    comp = build_sn_term(
+        ds, "wzcdm", "M", h0="H0", cepheids=True, method="compressed"
+    )
+    dense = build_sn_term(
+        ds, "wzcdm", "M", h0="H0", cepheids=True, grid_num=20000
+    )
+    p = {"Om": 0.33, "w0": -1.0, "M": -19.25, "H0": 73.0}
+    assert float(comp.chi2(p)) == pytest.approx(float(dense.chi2(p)), abs=0.05)
+    p2 = {"Om": 0.30, "w0": -0.8, "M": -19.3, "H0": 70.0}
+    assert float(comp.chi2(p2)) == pytest.approx(float(dense.chi2(p2)), abs=0.05)
