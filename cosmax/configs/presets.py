@@ -1038,3 +1038,56 @@ def _cmb_cmb(model="lcdm", compression="chen"):
         n_walkers=200, data_size=3,
         note=f"cmb/cmb.py with the {compression} compression",
     )
+
+
+# --------------------------------------------------------------------------
+# Full multiprobe joint (the BASELINE.json north-star config; no single
+# reference script combines all probes — this is cosmax composition)
+# --------------------------------------------------------------------------
+
+
+@preset("joint.multiprobe")
+def _joint_multiprobe(model):
+    """DES-SN5YR + DESI DR2 BAO + CMB(desi) + cosmic chronometers +
+    quasars + fsigma8, sharing one background cosmology. Offsets/
+    nuisances follow the corresponding single-probe presets."""
+    bao_ds = load_bao("desi_dr2")
+    sn_ds = load_sn("des5y")
+    cc_ds = load_cc()
+    fs8_ds = load_fs8()
+    _, qz, qmu, qsig = load_quasars(22)
+    params = _adjust_params(
+        [
+            ("rd", 120, 160),
+            ("H0", 60, 80),
+            ("Om", 0.1, 0.6),
+            ("Obh2", 0.019, 0.025),
+            ("w0", -2, 0),
+            ("dM", -0.7, 0.7),
+            ("dM_qsr", -0.6, 0.6),
+            ("s", 0.0, 1.5),
+            ("f_cc", 0.1, 1.5),
+            ("sigma8", 0.2, 1.2),
+            ("f_err", 0.1, 1.5),
+        ],
+        model,
+    )
+    terms = (
+        bao_mod.build_bao_term(
+            bao_ds, model, bao_mod.rd_param("rd"), grid=("dyn_trapz", 250)
+        ),
+        cmb_mod.build_cmb_term("desi", model),
+        sn_mod.build_sn_term(sn_ds, model, "dM", h0="H0", name="sn"),
+        cc_mod.build_cc_term(cc_ds, model, "f_cc", "divide"),
+        qsr_mod.build_quasar_term(qz, qmu, qsig, model),
+        fs8_mod.build_fs8_term(fs8_ds, model),
+    )
+    return FitSpec(
+        "joint.multiprobe", model, _spec(params), terms, _radiation(ORH2_DESI),
+        n_walkers=256, n_steps=2200,
+        data_size=(
+            bao_ds.n + 3 + sn_ds.effective_sample_size + cc_ds.n
+            + qz.size + fs8_ds.n
+        ),
+        note="all-probe joint (cosmax composition; BASELINE north-star config)",
+    )

@@ -49,8 +49,10 @@ class ParamSpec:
     def in_bounds(self, theta):
         """Strict interior check, matching the reference's
         ``(lo < p) & (p < hi)`` prior (bao/desi.py:86-90)."""
-        lo = jnp.asarray(self.bounds[:, 0], dtype=theta.dtype)
-        hi = jnp.asarray(self.bounds[:, 1], dtype=theta.dtype)
+        # no explicit dtype= (would warn when theta is f64 numpy with
+        # x64 disabled); asarray canonicalises, astype matches theta
+        lo = jnp.asarray(self.bounds[:, 0]).astype(theta.dtype)
+        hi = jnp.asarray(self.bounds[:, 1]).astype(theta.dtype)
         return jnp.all((lo < theta) & (theta < hi), axis=-1)
 
 
