@@ -45,6 +45,44 @@ def derived_posteriors(fit, flat):
     return out
 
 
+def _residual_stats(fit, medians):
+    """R^2, RMSD, skewness and kurtosis of each plottable probe's
+    residuals at the posterior median (the reference prints these per
+    run: sn/pantheon.py:116-142, bao/desi.py:151-162)."""
+    from scipy import stats as sstats
+
+    p = fit.derive(fit.spec.unpack(medians.astype(np.float64)))
+    out = {}
+    for term in fit.terms:
+        kind = term.meta.get("plot_kind")
+        try:
+            if kind == "sn":
+                theory = np.asarray(term.meta["theory_mag"](p))
+            elif kind == "bao":
+                z, qty = term.meta["z"], term.meta["quantity"]
+                curve = term.meta["theory_curve"]
+                theory = np.array(
+                    [float(curve(p, np.array([zi]), int(q))[0]) for zi, q in zip(z, qty)]
+                )
+            elif kind == "cc":
+                theory = np.asarray(term.meta["theory_curve"](p, term.meta["z"]))
+            else:
+                continue
+            values = np.asarray(term.meta["values"])
+            resid = values - theory
+            ss_res = float(np.sum(resid**2))
+            ss_tot = float(np.sum((values - values.mean()) ** 2))
+            out[term.name] = dict(
+                r2=1.0 - ss_res / ss_tot,
+                rmsd=float(np.sqrt(np.mean(resid**2))),
+                skewness=float(sstats.skew(resid)),
+                kurtosis=float(sstats.kurtosis(resid)),
+            )
+        except Exception:
+            continue
+    return out
+
+
 def summarize(fit, chain, discard: int = None, thin: int = 1) -> dict:
     """Full summary dict for a finished chain."""
     discard = fit.burn_in if discard is None else discard
@@ -84,6 +122,7 @@ def summarize(fit, chain, discard: int = None, thin: int = 1) -> dict:
         "gelman_rubin": gelman_rubin(samples).tolist(),
         "correlation_matrix": correlation_matrix(flat).tolist(),
         "derived": derived_posteriors(fit, flat),
+        "residual_stats": _residual_stats(fit, medians),
         "n_samples": int(flat.shape[0]),
     }
     return out
@@ -107,6 +146,11 @@ def format_summary(summary: dict) -> str:
     chi_parts = ", ".join(f"{k}={v:.2f}" for k, v in summary["chi2"].items())
     lines.append(f"Chi squared: {summary['chi2_total']:.2f} ({chi_parts})")
     lines.append(f"Degs of freedom: {summary['dof']}")
+    for tname, rs in summary.get("residual_stats", {}).items():
+        lines.append(
+            f"{tname}: R^2={rs['r2']:.4f} RMSD={rs['rmsd']:.3f} "
+            f"skew={rs['skewness']:.3f} kurtosis={rs['kurtosis']:.3f}"
+        )
     lines.append(f"Acceptance fraction: {summary['acceptance_fraction']:.3f}")
     if summary["autocorr_time"] is not None:
         taus = ", ".join(f"{t:.1f}" for t in summary["autocorr_time"])

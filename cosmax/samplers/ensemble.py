@@ -168,14 +168,41 @@ def _kde_proposal(key, active, comp, spec: MoveSpec):
     eps = jax.random.normal(k2, (nh, ndim), dtype=active.dtype)
     prop = comp[j] + bw * (eps @ chol.T)
 
+    # Whiten once and use the Gram expansion
+    # ||u_i - v_j||^2 = |u_i|^2 + |v_j|^2 - 2 u_i.v_j, so the Mahalanobis
+    # matrix is one [B, D] x [D, nc] matmul per row block — computed in
+    # chunks under lax.map so the [nh, nc] matrix is never materialised
+    # (the 1e5-walker lockstep config would otherwise need 16 GB for it).
+    def whiten(x):
+        return (
+            jax.scipy.linalg.solve_triangular(chol, x.T, lower=True) / bw
+        ).T
+
+    v = whiten(comp)  # [nc, D]
+    v_sq = jnp.sum(v * v, axis=1)
+
     def log_kde(x):
-        # x: [nh, D]; kernels at comp with bandwidth bw^2 cov
-        diff = x[:, None, :] - comp[None, :, :]  # [nh, nc, D]
-        sol = jax.scipy.linalg.solve_triangular(
-            chol, diff.reshape(-1, ndim).T, lower=True
-        ) / bw
-        maha = jnp.sum(sol**2, axis=0).reshape(nh, nc)
-        return jax.scipy.special.logsumexp(-0.5 * maha, axis=1)
+        u = whiten(x)  # [nh, D]
+        u_sq = jnp.sum(u * u, axis=1)
+        # ~32M-element chunks (128 MB f32 scratch)
+        block = max(8, min(nh, (1 << 25) // max(nc, 1)))
+        pad = (-nh) % block
+        u_p = jnp.pad(u, ((0, pad), (0, 0)))
+        usq_p = jnp.pad(u_sq, (0, pad))
+
+        def chunk(args):
+            uc, usqc = args
+            maha = usqc[:, None] + v_sq[None, :] - 2.0 * (uc @ v.T)
+            return jax.scipy.special.logsumexp(-0.5 * maha, axis=1)
+
+        out = jax.lax.map(
+            chunk,
+            (
+                u_p.reshape(-1, block, ndim),
+                usq_p.reshape(-1, block),
+            ),
+        )
+        return out.reshape(-1)[:nh]
 
     logfac = log_kde(active) - log_kde(prop)
     return prop, logfac
