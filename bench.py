@@ -29,7 +29,7 @@ def main():
     fit = get_preset("bao.desi_cmb_des5y", model="wzcdm", fast=True)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
-    n_walkers = 32768
+    n_walkers = 131072
     rng = np.random.default_rng(0)
     lo, hi = fit.spec.bounds[:, 0], fit.spec.bounds[:, 1]
     mid, span = 0.5 * (lo + hi), 0.05 * (hi - lo)
@@ -43,7 +43,7 @@ def main():
     # does not actually block, so np.asarray forces completion)
     np.asarray(log_prob(walkers))
 
-    n_iters = 50
+    n_iters = 30
     t0 = time.perf_counter()
     out = None
     for i in range(n_iters):

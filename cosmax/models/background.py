@@ -29,21 +29,31 @@ MODELS = ("lcdm", "wcdm", "wzcdm", "w0wacdm")
 
 
 def de_density(z, params, model: str):
-    """rho_de(z) / rho_de(0) for a static model name."""
+    """rho_de(z) / rho_de(0) for a static model name.
+
+    Powers with parameter-dependent exponents are written as
+    exp(k * log(base)): z lives on static quadrature grids in the hot
+    loop, so XLA constant-folds log(base) and each evaluation costs one
+    exp instead of the backend pow's internal log+exp per element
+    (XLA does not fold the log inside power(const, traced)).
+    """
     if model == "lcdm":
         return jnp.ones_like(z)
     one_plus_z = 1.0 + z
     if model == "wcdm":
         w0 = params["w0"]
-        return one_plus_z ** (3.0 * (1.0 + w0))
+        return jnp.exp(3.0 * (1.0 + w0) * jnp.log(one_plus_z))
     if model == "wzcdm":
         w0 = params["w0"]
         cubed = one_plus_z**3
-        return (2.0 * cubed / (1.0 + cubed)) ** (2.0 * (1.0 + w0))
+        return jnp.exp(
+            2.0 * (1.0 + w0) * jnp.log(2.0 * cubed / (1.0 + cubed))
+        )
     if model == "w0wacdm":
         w0, wa = params["w0"], params["wa"]
-        return one_plus_z ** (3.0 * (1.0 + w0 + wa)) * jnp.exp(
-            -3.0 * wa * z / one_plus_z
+        return jnp.exp(
+            3.0 * (1.0 + w0 + wa) * jnp.log(one_plus_z)
+            - 3.0 * wa * z / one_plus_z
         )
     raise ValueError(f"unknown model {model!r}; expected one of {MODELS}")
 
