@@ -106,10 +106,18 @@ def build_bao_term(
             return comoving_distance_trapz(p, model, tgrid, tw)
 
     elif kind == "gl":
-        order = grid[1]
+        # shared-panel prefix quadrature over the (static, sorted)
+        # data redshifts — N panels instead of N independent rules
+        from cosmax.models.distances import make_prefix_comoving_integral
+        from cosmax.constants import C_KM_S
+
+        z_unique, z_inverse = np.unique(z, return_inverse=True)
+        prefix_integral = make_prefix_comoving_integral(
+            z_unique, model, order=max(8, grid[1] // 4)
+        )
 
         def dm_of(p):
-            return comoving_distance_gl(z, p, model, order=order)
+            return (C_KM_S / p["H0"]) * prefix_integral(p)[z_inverse]
 
     else:
         raise ValueError(f"unknown grid mode {grid!r}")

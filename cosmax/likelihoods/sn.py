@@ -142,7 +142,7 @@ def _build_compressed_sn(
 ):
     import scipy.integrate
 
-    from cosmax.models.distances import comoving_integral_gl
+    from cosmax.models.distances import make_prefix_comoving_integral
 
     z_cmb = np.asarray(dataset.z_cmb, dtype=np.float64)
     mags = np.asarray(dataset.values, dtype=np.float64)
@@ -200,10 +200,14 @@ def _build_compressed_sn(
     b_vec = p_mat.T @ u_ref  # [K+1]
     gram = p_mat.T @ p_mat  # [K+1, K+1]
 
-    z_nodes_j = jnp.asarray(z_nodes)
+    # shared-panel prefix quadrature over the sorted Chebyshev nodes:
+    # K panels of gl_order/8 nodes instead of K independent big rules
+    prefix_integral = make_prefix_comoving_integral(
+        z_nodes, model, order=max(8, gl_order // 8)
+    )
 
     def coeffs(p):
-        integral = comoving_integral_gl(z_nodes_j, p, model, order=gl_order)
+        integral = prefix_integral(p)
         if h0 is None:
             g = 5.0 * jnp.log10(C_KM_S * integral)
         else:

@@ -15,6 +15,7 @@ Two modes:
   ``cosmax.ops.quadrature.trapz_grid_weights``).
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from cosmax.constants import C_KM_S
@@ -45,6 +46,37 @@ def comoving_distance_gl(z, params, model, order: int = 64):
     z: [N] static data redshifts -> [N] distances in Mpc.
     """
     return (C_KM_S / params["H0"]) * comoving_integral_gl(z, params, model, order)
+
+
+def make_prefix_comoving_integral(z_points, model, order: int = 8):
+    """Shared-panel prefix quadrature for a *static* batch of sorted
+    targets: int_0^{z_i} dz/E for every data redshift with one panel of
+    ``order`` GL nodes between consecutive z's and a prefix sum —
+    N*order integrand evaluations total instead of N*big_order for
+    independent per-point rules (the SN compressed basis needs ~64
+    targets; 8-node panels on the short gaps are converged far below
+    f32). Build-time numpy; returns ``fn(params) -> I[z_points]`` in
+    the original order.
+    """
+    z_points = np.atleast_1d(np.asarray(z_points, dtype=np.float64))
+    perm = np.argsort(z_points)
+    z_sorted = z_points[perm]
+    edges = np.concatenate([[0.0], z_sorted])
+    t, w = gl_nodes_01(order)
+    # nodes[i, k] on panel (edges[i], edges[i+1])
+    widths = np.diff(edges)
+    nodes = edges[:-1, None] + widths[:, None] * t[None, :]
+    weights = widths[:, None] * w[None, :]
+    inv_perm = np.argsort(perm)
+    nodes_j = jnp.asarray(nodes)
+    weights_j = jnp.asarray(weights)
+
+    def integral(params):
+        integ = 1.0 / e_of_z(nodes_j, params, model)
+        segments = jnp.sum(integ * weights_j, axis=-1)
+        return jnp.cumsum(segments)[inv_perm]
+
+    return integral
 
 
 def comoving_distance_trapz(params, model, grid, weights):
