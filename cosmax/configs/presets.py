@@ -1091,3 +1091,17 @@ def _joint_multiprobe(model):
         ),
         note="all-probe joint (cosmax composition; BASELINE north-star config)",
     )
+
+
+@preset("sn.des5y_bins")
+def _sn_des5y_bins(model):
+    """Inverse-variance 50-per-bin DES5Y compression — the reference
+    ships the binned loader (y2024DES/data_bins.py) without an analysis
+    script; this preset makes it fittable."""
+    ds = load_sn("des5y_bins")
+    params = _adjust_params([("dM", -0.2, 0.2), ("Om", 0, 0.8), ("w0", -2, 0)], model)
+    terms = (sn_mod.build_sn_term(ds, model, "dM", h0=70.0, name="sn"),)
+    return FitSpec(
+        "sn.des5y_bins", model, _spec(params), terms, _IDENT, data_size=ds.n,
+        note="y2024DES/data_bins.py binned compression (no reference script)",
+    )
