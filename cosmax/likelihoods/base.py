@@ -90,6 +90,9 @@ def make_log_prob(
     """
 
     def log_prob(theta):
+        # canonicalise once (host f64 inputs silently downcast to the
+        # active precision instead of warning downstream)
+        theta = jnp.asarray(theta)
         p = derive(spec.unpack(theta))
         ll = sum((t.log_like(p) for t in terms), start=jnp.zeros(()))
         ok = spec.in_bounds(theta) & jnp.isfinite(ll)
@@ -109,6 +112,7 @@ def make_chi2_breakdown(
     quasars/qsr_desi.py log output)."""
 
     def breakdown(theta):
+        theta = jnp.asarray(theta)
         p = derive(spec.unpack(theta))
         return {t.name: t.chi2(p) for t in terms}
 
