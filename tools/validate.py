@@ -50,6 +50,9 @@ CASES = [
       "Om": (0.299, 0.009)}, 40.55),
     ("bao.desi_union3", "lcdm", {},
      {"dM": (-0.119, 0.089), "H0": (68.69, 0.47), "Om": (0.304, 0.008)}, 38.82),
+    ("bao.desi_union3", "w0wacdm", {},
+     {"dM": (-0.166, 0.091), "H0": (66.23, 0.92), "Om": (0.330, 0.017),
+      "w0": (-0.700, 0.114), "wa": (-0.996, 0.568)}, 28.79),
     ("bao.desi_union3_cc", "lcdm", {},
      {"f_cc": (0.70, 0.10), "dM": (-0.118, 0.09), "H0": (68.7, 2.3),
       "rd": (147.0, 5.0), "Om": (0.304, 0.008)}, 69.1),
