@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; resumes if present")
     p.add_argument("--checkpoint-every", type=int, default=500)
+    p.add_argument("--fast", action="store_true",
+                   help="production TPU path: GL distances + compressed "
+                        "SN basis (default: reference-matched parity grids)")
     p.add_argument("--x64", action="store_true",
                    help="float64 parity mode (slow on TPU)")
     p.add_argument("--list", action="store_true", help="list presets")
@@ -75,7 +78,7 @@ def main(argv=None):
     from cosmax.samplers.ensemble import uniform_init, stretch_only, default_moves
     from cosmax.report import summarize, format_summary, plots
 
-    fit = get_preset(args.preset, args.model)
+    fit = get_preset(args.preset, args.model, fast=args.fast)
     n_walkers = args.walkers or fit.n_walkers
     n_steps = args.steps or fit.n_steps
     burn_in = args.burn_in if args.burn_in is not None else fit.burn_in

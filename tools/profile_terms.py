@@ -1,0 +1,74 @@
+"""Per-term throughput ablation of a preset's joint likelihood.
+
+Measures the batched log-prob with each term removed in turn — the
+difference attributes wall time per probe (the per-likelihood-eval
+timing subsystem, SURVEY.md §5 "tracing/profiling: absent in the
+reference").
+
+Usage: python tools/profile_terms.py [--preset bao.desi_cmb_des5y]
+       [--model wzcdm] [--walkers 131072] [--fast]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="bao.desi_cmb_des5y")
+    ap.add_argument("--model", default="wzcdm")
+    ap.add_argument("--walkers", type=int, default=131072)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--fast", action="store_true", default=True)
+    ap.add_argument("--parity", dest="fast", action="store_false")
+    args = ap.parse_args(argv)
+
+    from dataclasses import replace
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from cosmax.configs import get_preset
+
+    fit_full = get_preset(args.preset, args.model, fast=args.fast)
+    rng = np.random.default_rng(0)
+    lo, hi = fit_full.spec.bounds[:, 0], fit_full.spec.bounds[:, 1]
+    mid, span = 0.5 * (lo + hi), 0.05 * (hi - lo)
+    w = args.walkers
+    walkers = jnp.asarray(
+        (mid + span * rng.standard_normal((w, fit_full.spec.dim))).astype(
+            np.float32
+        )
+    )
+
+    def bench(fit):
+        lp = jax.jit(jax.vmap(fit.log_prob()))
+        np.asarray(lp(walkers))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = lp(walkers)
+        np.asarray(out)
+        return (time.perf_counter() - t0) / args.iters
+
+    t_full = bench(fit_full)
+    print(
+        f"full ({len(fit_full.terms)} terms): {t_full * 1e3:.2f} ms/iter, "
+        f"{w / t_full:.3e} evals/s"
+    )
+    for term in fit_full.terms:
+        rest = tuple(t for t in fit_full.terms if t is not term)
+        t_wo = bench(replace(fit_full, terms=rest))
+        share = (t_full - t_wo) / t_full
+        print(
+            f"  {term.name:12s}: {1e3 * (t_full - t_wo):+7.2f} ms "
+            f"({100 * share:5.1f}% of total)"
+        )
+
+
+if __name__ == "__main__":
+    main()
