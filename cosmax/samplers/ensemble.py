@@ -239,6 +239,22 @@ class EnsembleSampler:
         self.n_walkers = n_walkers
         self.ndim = ndim
         self.moves = tuple(moves) if moves is not None else default_moves()
+        if n_walkers > 16384 and any(m.kind == "kde" for m in self.moves):
+            # The KDE move's blocked density evaluation is O(W^2) per
+            # step and its in-scan program compiles very slowly at this
+            # scale; the posterior is move-independent, so swap the KDE
+            # weight onto the stretch move.
+            import warnings
+
+            warnings.warn(
+                f"KDE move disabled for n_walkers={n_walkers} (> 16384): "
+                "its weight is reassigned to a stretch move",
+                stacklevel=2,
+            )
+            self.moves = tuple(
+                MoveSpec("stretch", m.weight, a=m.a) if m.kind == "kde" else m
+                for m in self.moves
+            )
         for m in self.moves:
             if m.kind not in _PROPOSALS:
                 raise ValueError(f"unknown move kind {m.kind!r}")

@@ -66,6 +66,8 @@ CASES = [
     ("bao.desi_cmb", "lcdm", {"compression": "desi"},
      {"rd": (148.41, 0.51), "H0": (68.01, 0.43), "Om": (0.3051, 0.006),
       "Obh2": (0.02231, 0.0002)}, 11.76),
+    ("sn.union3_cmb", "lcdm", {},
+     {"H0": (67.11, 0.57), "Om": (0.319, 0.008), "dM": (-0.167, 0.09)}, 26.2),
     ("cc.cc_union3", "lcdm", {},
      {"f_cc": (0.70, 0.1), "dM": (-0.202, 0.09), "H0": (65.9, 2.6),
       "Om": (0.349, 0.025)}, 54.25),
