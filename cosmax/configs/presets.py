@@ -15,12 +15,12 @@ parameters are dropped from the sampled vector, for 'w0wacdm' a wa
 parameter is appended (bounds (-3, 2) as in the published w0waCDM rows).
 """
 
-from dataclasses import dataclass, field, replace
-from typing import Callable, Optional, Sequence, Tuple
+from dataclasses import dataclass, replace
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 
-from cosmax.likelihoods.base import ParamSpec, Term, make_log_prob, make_chi2_breakdown
+from cosmax.likelihoods.base import ParamSpec, make_log_prob, make_chi2_breakdown
 from cosmax.likelihoods import bao as bao_mod
 from cosmax.likelihoods import sn as sn_mod
 from cosmax.likelihoods import cc as cc_mod

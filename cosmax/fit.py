@@ -52,8 +52,6 @@ def main(argv=None):
     from cosmax.configs import get_preset, list_presets
 
     if args.list:
-        from cosmax.configs.presets import PRESETS
-
         for name in list_presets():
             fit = None
             try:

@@ -19,7 +19,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from cosmax.likelihoods.base import Term
-from cosmax.models.background import e_of_z
 from cosmax.models.distances import (
     comoving_distance_gl,
     comoving_distance_trapz,

@@ -18,8 +18,6 @@ uses the output ref (revisited across the inner dimension, standard
 Pallas reduction pattern). MXU does the [BW, N] x [N, BN] contraction.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cosmax.parallel.mesh import data_sharded_chi2, walker_sharding
+from cosmax.parallel.mesh import data_sharded_chi2
 
 
 def build_sharded_log_prob(fit, mesh, big_n_threshold: int = 100):
