@@ -110,7 +110,8 @@ def main(argv=None):
         )
     else:
         state, chain = sampler.run(key_run, initial, n_steps, thin=args.thin)
-    chain.samples.block_until_ready()
+    # force a host fetch — the axon tunnel's block_until_ready is async
+    np.asarray(chain.samples[-1, :1])
     dt = time.time() - t0
     evals = n_steps * n_walkers
     print(f"# sampled {evals} log-prob evals in {dt:.1f}s "
