@@ -44,14 +44,32 @@ def build_fs8_term(
     ode_substeps: int = 4,
     name: str = "fs8",
 ) -> Term:
+    from cosmax.likelihoods.fastmode import fast_mode
+
     z = np.asarray(dataset.z, dtype=np.float64)
     fs8_obs = np.asarray(dataset.values, dtype=np.float64)
     linv = dataset.linv
     n = dataset.n
     fid_denom = _fiducial_denominator(z, np.asarray(dataset.omega_fid))
 
+    if fast_mode():
+        # Chebyshev growth emulator: spectral tensor interpolation in
+        # (Om, w0[, wa]) replaces the per-eval 999-step ODE scan
+        # (cosmax.models.growth_emulator; <=1e-7 agreement tested).
+        from cosmax.models.growth_emulator import make_fs8_emulator
+
+        emulator = make_fs8_emulator(z, model, substeps=ode_substeps)
+
+        def theory_fs8(p):
+            return p["sigma8"] * emulator(p)
+
+    else:
+
+        def theory_fs8(p):
+            return fsigma8(z, p, model, substeps=ode_substeps)
+
     def residual(p):
-        theory = fsigma8(z, p, model, substeps=ode_substeps)
+        theory = theory_fs8(p)
         e_model = e_of_z(jnp.asarray(z), p, model)
         dm_model = comoving_integral_gl(z, p, model, order=gl_order)
         q = e_model * dm_model / fid_denom

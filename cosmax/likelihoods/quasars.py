@@ -31,15 +31,31 @@ def build_quasar_term(
     grid_num: int = 3000,
     name: str = "quasars",
 ) -> Term:
+    from cosmax.likelihoods.fastmode import fast_mode
+
     z = np.asarray(z, dtype=np.float64)
     mu = np.asarray(mu, dtype=np.float64)
     sigma_sq = np.asarray(sigma_mu, dtype=np.float64) ** 2
     z_grid = np.linspace(0.0, z.max(), num=grid_num)
 
-    def mu_model(p):
-        inv_e = 1.0 / e_of_z(jnp.asarray(z_grid), p, model)
-        integral = jnp.interp(z, z_grid, cumtrapz(inv_e, z_grid))
-        return 25.0 + 5.0 * jnp.log10((1.0 + z) * (C_KM_S / h0) * integral)
+    if fast_mode():
+        # prefix-GL comoving integrals at the bin redshifts replace the
+        # reference's 3000-pt cumulative-trapezoid grid (~17x fewer
+        # integrand evaluations, converged beyond the grid's own error)
+        from cosmax.models.distances import make_prefix_comoving_integral
+
+        prefix_integral = make_prefix_comoving_integral(z, model, order=8)
+
+        def mu_model(p):
+            integral = prefix_integral(p)
+            return 25.0 + 5.0 * jnp.log10((1.0 + z) * (C_KM_S / h0) * integral)
+
+    else:
+
+        def mu_model(p):
+            inv_e = 1.0 / e_of_z(jnp.asarray(z_grid), p, model)
+            integral = jnp.interp(z, z_grid, cumtrapz(inv_e, z_grid))
+            return 25.0 + 5.0 * jnp.log10((1.0 + z) * (C_KM_S / h0) * integral)
 
     def chi2(p):
         delta = mu - mu_model(p) - p[offset_param]

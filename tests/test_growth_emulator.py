@@ -1,0 +1,49 @@
+"""Chebyshev growth emulator vs the direct ODE solution."""
+
+import numpy as np
+import pytest
+
+from cosmax.models.growth import fsigma8
+from cosmax.models.growth_emulator import make_fs8_emulator
+
+
+Z = np.array([0.02, 0.15, 0.44, 0.8, 1.36, 1.944])
+
+
+@pytest.mark.parametrize(
+    "model,params",
+    [
+        ("lcdm", {"Om": 0.29}),
+        ("wzcdm", {"Om": 0.31, "w0": -0.85}),
+        ("wzcdm", {"Om": 0.12, "w0": -2.3}),
+        ("w0wacdm", {"Om": 0.32, "w0": -0.7, "wa": -0.9}),
+    ],
+)
+def test_emulator_matches_ode(x64, model, params):
+    emu = make_fs8_emulator(Z, model)
+    p = dict(params, sigma8=1.0)
+    got = np.asarray(emu(p))
+    want = np.asarray(fsigma8(Z, dict(p), model)) / 1.0
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_emulator_exact_at_nodes(x64):
+    from cosmax.models.growth_emulator import _cheb_nodes, DOMAINS
+
+    emu = make_fs8_emulator(Z, "lcdm", n_nodes=16)
+    om_node = float(_cheb_nodes(16, *DOMAINS["Om"])[7])
+    p = {"Om": om_node, "sigma8": 1.0}
+    got = np.asarray(emu(p))
+    want = np.asarray(fsigma8(Z, p, "lcdm"))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_fast_fs8_term_matches_parity(x64):
+    from cosmax.configs import get_preset
+
+    theta = np.array([0.268, 0.789, 0.78])
+    fast = get_preset("fs8.fs8", "lcdm", fast=True)
+    slow = get_preset("fs8.fs8", "lcdm")
+    a = float(sum(fast.chi2_breakdown()(theta).values()))
+    b = float(sum(slow.chi2_breakdown()(theta).values()))
+    assert a == pytest.approx(b, abs=1e-4)
