@@ -286,6 +286,8 @@ def _sn_cmb(name, sn_name, compression, orh2, params_om, mag, use_z_hel=True):
             note=f"{compression} compression + {sn_name}, radiation-aware E(z)",
         )
 
+
+    build.__doc__ = f"{compression} compression + {sn_name}, radiation-aware E(z)"
     return build
 
 
@@ -551,6 +553,8 @@ def _bao_sn_cc(name, sn_name, f_bounds, dm_bounds, h0_b, rd_b, om_b, w0_b,
             data_size=ds.n + n_sn + cc_ds.n, note=note,
         )
 
+
+    build.__doc__ = note
     return build
 
 
@@ -633,6 +637,8 @@ def _bao_cmb_sn(name, sn_name, compression, mag, w0_hi, note, use_z_hel=True):
             data_size=ds.n + 3 + n_sn, note=note,
         )
 
+
+    build.__doc__ = note
     return build
 
 
@@ -680,6 +686,8 @@ def _bao_sn_bbn(name, sn_name, rd_formula, note, use_z_hel=True, h0_lo=55):
             data_size=ds.n + n_sn + 1, note=note,
         )
 
+
+    build.__doc__ = note
     return build
 
 
@@ -836,6 +844,8 @@ def _cc_sn(name, sn_name, f_bounds, mag, mag_bounds, h0_b, om_b, convention,
             data_size=cc_ds.n + n_sn, note=note,
         )
 
+
+    build.__doc__ = note
     return build
 
 

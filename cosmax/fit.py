@@ -49,20 +49,21 @@ def main(argv=None):
     p.add_argument("--list", action="store_true", help="list presets")
     args = p.parse_args(argv)
 
-    from cosmax.configs import get_preset, list_presets
-
     if args.list:
-        for name in list_presets():
-            fit = None
-            try:
-                fit = get_preset(name, "wzcdm")
-                print(f"{name:28s} {fit.note}")
-            except Exception as e:
-                print(f"{name:28s} (unavailable: {e})")
+        # Print from the static index without building any preset
+        # (building loads every dataset and quadrature — minutes in
+        # total; the index is guarded against drift by
+        # tests/test_presets.py::test_index_matches_registry).
+        from cosmax._preset_index import PRESET_NOTES
+
+        for name in sorted(PRESET_NOTES):
+            print(f"{name:28s} {PRESET_NOTES[name]}")
         return 0
 
     if not args.preset:
         p.error("--preset is required (or --list)")
+
+    from cosmax.configs import get_preset
 
     if args.x64:
         import cosmax
@@ -77,9 +78,15 @@ def main(argv=None):
     from cosmax.report import summarize, format_summary, plots
 
     fit = get_preset(args.preset, args.model, fast=args.fast)
-    n_walkers = args.walkers or fit.n_walkers
-    n_steps = args.steps or fit.n_steps
+    n_walkers = args.walkers if args.walkers is not None else fit.n_walkers
+    n_steps = args.steps if args.steps is not None else fit.n_steps
     burn_in = args.burn_in if args.burn_in is not None else fit.burn_in
+    if n_walkers < 4:
+        p.error(f"--walkers must be >= 4 (got {n_walkers})")
+    if n_steps < 1:
+        p.error(f"--steps must be >= 1 (got {n_steps})")
+    if args.thin < 1:
+        p.error(f"--thin must be >= 1 (got {args.thin})")
     seed = args.seed if args.seed is not None else (fit.seed or 0)
     moves = (
         stretch_only() if args.moves == "stretch"
@@ -101,23 +108,33 @@ def main(argv=None):
     initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
 
     t0 = time.time()
+    start_step = 0
     if args.checkpoint:
         from cosmax.samplers.checkpoints import run_with_checkpoints
 
-        state, chain = run_with_checkpoints(
+        state, chain, start_step = run_with_checkpoints(
             sampler, key_run, initial, n_steps, args.checkpoint,
             every=args.checkpoint_every, thin=args.thin,
         )
+        if chain is None:
+            print("# checkpoint already covers the requested steps; nothing to do")
+            return 0
+        if start_step:
+            print(f"# resumed from step {start_step}; chain holds the "
+                  f"post-resume segments only")
     else:
         state, chain = sampler.run(key_run, initial, n_steps, thin=args.thin)
     # force a host fetch — the axon tunnel's block_until_ready is async
     np.asarray(chain.samples[-1, :1])
     dt = time.time() - t0
-    evals = n_steps * n_walkers
+    evals = (n_steps - start_step) * n_walkers
     print(f"# sampled {evals} log-prob evals in {dt:.1f}s "
           f"({evals / dt:.0f} evals/s incl. compile)")
 
-    summary = summarize(fit, chain, discard=burn_in // args.thin)
+    # burn-in is an absolute step count; offset by what a resumed chain
+    # already skipped (the merged chain starts at start_step).
+    discard = max(0, burn_in - start_step) // args.thin
+    summary = summarize(fit, chain, discard=discard)
     summary["walltime_sec"] = dt
     summary["evals_per_sec"] = evals / dt
     print(format_summary(summary))
@@ -128,10 +145,10 @@ def main(argv=None):
             json.dump(summary, f, indent=2, default=float)
         np.save(
             os.path.join(args.out, "chain.npy"),
-            np.asarray(chain.samples)[burn_in // args.thin :],
+            np.asarray(chain.samples)[discard:],
         )
         if not args.no_plots:
-            flat = np.asarray(chain.flat(discard=burn_in // args.thin))
+            flat = np.asarray(chain.flat(discard=discard))
             plots.corner(flat, labels=list(fit.spec.names)).savefig(
                 os.path.join(args.out, "corner.png"), dpi=120
             )

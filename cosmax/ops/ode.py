@@ -4,7 +4,7 @@ Replaces the reference's ``scipy.integrate.solve_ivp`` (fs8/fs8.py:52-59)
 inside the jitted likelihood: adaptive stepping is data-dependent control
 flow XLA can't compile, so we integrate on a static grid with enough
 substeps that the discretisation error is far below the reference's
-rtol=1e-8 (validated against scipy in tests/test_growth.py).
+rtol=1e-8 (validated against scipy.solve_ivp in tests/test_growth.py).
 """
 
 import jax

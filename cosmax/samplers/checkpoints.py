@@ -45,13 +45,34 @@ def run_with_checkpoints(
     sampler, key, initial, n_steps: int, path: str, every: int = 500, thin: int = 1
 ):
     """Run in ``every``-step segments, checkpointing after each; resumes
-    automatically if ``path`` already holds a state."""
+    automatically if ``path`` already holds a state.
+
+    Returns ``(state, chain, start_step)``. On a fresh run
+    ``start_step`` is 0 and ``chain`` covers the whole run; on resume
+    the pre-crash samples live only in the earlier process's return
+    value, so ``chain`` holds the post-resume segments and
+    ``start_step`` is the absolute step count already completed —
+    callers must offset burn-in discards by ``start_step // thin``
+    (cosmax.fit does).
+
+    ``every`` is rounded up to a multiple of ``thin`` so the recorded
+    stride is identical to a single uninterrupted thinned run (the
+    per-segment thinning would otherwise restart its phase at each
+    segment boundary).
+    """
+    every = -(-every // thin) * thin
     if os.path.exists(path):
         state = load_state(path)
-        done = int(state.step)
+        start = int(state.step)
+        if start % thin:
+            raise ValueError(
+                f"checkpoint at step {start} is not a multiple of thin={thin}; "
+                "resume with the thin/checkpoint-every values of the original run"
+            )
     else:
         state = sampler.init_state(key, initial)
-        done = 0
+        start = 0
+    done = start
     chains = []
     while done < n_steps:
         # Fixed segment length: every distinct scan length is a separate
@@ -62,10 +83,14 @@ def run_with_checkpoints(
         chains.append(chain)
         done += every
     if not chains:
-        return state, None
+        return state, None, start
     import jax.tree_util as jtu
 
     merged = jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *chains)
-    keep = -(-n_steps // thin)  # ceil
+    # Absolute recorded-sample budget for the logical n_steps run, minus
+    # what was recorded before this resume (start is a multiple of thin
+    # except in the re-align branch, where chain0 already has the exact
+    # remainder).
+    keep = -(-n_steps // thin) - start // thin  # ceil
     merged = jtu.tree_map(lambda x: x[:keep], merged)
-    return state, merged
+    return state, merged, start

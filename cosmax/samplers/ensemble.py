@@ -316,10 +316,44 @@ class EnsembleSampler:
             st, acc, mv = self.step(st)
             return st, (st.walkers, st.log_probs, acc, mv)
 
-        state, (samples, lps, accs, moves) = jax.lax.scan(
-            body, state, None, length=n_steps
-        )
-        return state, Chain(samples[::thin], lps[::thin], accs[::thin], moves[::thin])
+        if thin == 1:
+            state, recs = jax.lax.scan(body, state, None, length=n_steps)
+            return state, Chain(*recs)
+
+        # Thin inside the scan so peak memory is ceil(n_steps/thin)
+        # samples, not n_steps: each outer block records its first step
+        # then advances thin-1 unrecorded steps. The step sequence (and
+        # hence the PRNG stream and final state) is identical to an
+        # unthinned run followed by samples[::thin].
+        def skip(st, n):
+            def unrecorded(s, _):
+                s, _, _ = self.step(s)
+                return s, None
+
+            st, _ = jax.lax.scan(unrecorded, st, None, length=n)
+            return st
+
+        def block(st, _):
+            st, acc, mv = self.step(st)
+            rec = (st.walkers, st.log_probs, acc, mv)
+            return skip(st, thin - 1), rec
+
+        n_full, rem = divmod(n_steps, thin)
+        recs = None
+        if n_full:
+            state, recs = jax.lax.scan(block, state, None, length=n_full)
+        if rem:
+            state, acc, mv = self.step(state)
+            tail = (state.walkers, state.log_probs, acc, mv)
+            state = skip(state, rem - 1)
+            if recs is None:
+                recs = tuple(jnp.expand_dims(t, 0) for t in tail)
+            else:
+                recs = tuple(
+                    jnp.concatenate([r, jnp.expand_dims(t, 0)])
+                    for r, t in zip(recs, tail)
+                )
+        return state, Chain(*recs)
 
     def run(self, key, initial, n_steps: int, thin: int = 1):
         """Run ``n_steps`` ensemble steps from ``initial`` [W, D].
@@ -336,9 +370,12 @@ class EnsembleSampler:
 
 def uniform_init(key, bounds, n_walkers, dtype=None):
     """Uniform-in-bounds initial walker positions (reference
-    bao/desi.py:114-117)."""
+    bao/desi.py:114-117). Defaults to the active precision policy
+    (f64 when x64 parity mode is enabled, else f32)."""
+    from cosmax.utils.dtypes import canonical_dtype
+
     bounds = np.asarray(bounds, dtype=np.float64)
-    u = jax.random.uniform(key, (n_walkers, bounds.shape[0]), dtype=dtype or jnp.float32)
+    u = jax.random.uniform(key, (n_walkers, bounds.shape[0]), dtype=canonical_dtype(dtype))
     lo = jnp.asarray(bounds[:, 0], dtype=u.dtype)
     hi = jnp.asarray(bounds[:, 1], dtype=u.dtype)
     return lo + u * (hi - lo)

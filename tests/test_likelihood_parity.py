@@ -238,3 +238,22 @@ def test_flagship_desi_cmb_des5y_published_partial(x64):
     chis, _ = bd(fit, rd=148.08, H0=68.01, Om=0.3079, Obh2=0.02220, dM=0.0)
     assert np.isfinite(sum(chis.values()))
     assert chis["bao"] < 30.0
+
+
+def test_x64_parity_chi2_vs_oracle_1e9(x64):
+    """End-to-end f64 parity: the jitted bao.desi log-prob at an
+    arbitrary interior point reproduces the numpy/scipy oracle chi^2 to
+    1e-9 (VERDICT r1 item 4)."""
+    import jax.numpy as jnp
+
+    fit = get_preset("bao.desi", "lcdm")
+    ds = load_bao("desi_dr2")
+    h, om = 0.6893, 0.2971
+    theta = jnp.asarray(np.array([h, om]))
+    assert theta.dtype == jnp.float64
+    got = float(fit.chi2_breakdown()(theta)["bao"])
+    # bao.desi has no logdet normalisation term: -2 log L == chi^2
+    assert -2.0 * float(fit.log_prob()(theta)) == pytest.approx(got, abs=1e-9)
+    theory = oracles.bao_theory(ds.z, ds.quantity, 100.0 * h, om, "lcdm")
+    want = oracles.gaussian_chi2(ds.values - theory, ds.cov)
+    assert got == pytest.approx(want, abs=1e-9)

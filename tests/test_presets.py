@@ -60,3 +60,13 @@ def test_registry_covers_reference_matrix():
         "fs8.fs8", "cmb.cmb",
     }
     assert expected <= set(list_presets())
+
+
+def test_index_matches_registry():
+    """The static --list index (cosmax/_preset_index.py) must track the
+    live registry exactly; regenerate with tools/gen_preset_index.py."""
+    from cosmax._preset_index import PRESET_NOTES
+
+    assert set(PRESET_NOTES) == set(list_presets())
+    for name in list_presets():
+        assert PRESET_NOTES[name] == get_preset(name, "wzcdm").note, name

@@ -115,3 +115,62 @@ def test_bao_end_to_end_posterior():
     assert om_med == pytest.approx(0.298, abs=0.006)
     assert h_plus == pytest.approx(0.005, abs=0.002)
     assert om_plus == pytest.approx(0.009, abs=0.004)
+
+
+def test_kde_only_gaussian_recovery():
+    """The KDE move alone must satisfy detailed balance (its q(old)/q(new)
+    MH correction is the delicate part) — recover the target Gaussian."""
+    chain = _run((MoveSpec("kde", 1.0),), n_steps=1500)
+    flat = np.asarray(chain.flat(discard=400))
+    np.testing.assert_allclose(flat.mean(axis=0), MU, atol=0.12)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.3)
+    acc = float(chain.acceptance_fraction)
+    assert 0.1 < acc < 0.95
+
+
+def test_kde_fallback_above_16384_walkers():
+    """Above 16384 walkers the KDE move is swapped onto a stretch move
+    (its in-scan O(W^2) program compiles impractically slowly)."""
+    with pytest.warns(UserWarning, match="KDE move disabled"):
+        s = EnsembleSampler(gauss_lp, 16386, 2, moves=default_moves())
+    kinds = [m.kind for m in s.moves]
+    assert "kde" not in kinds and "stretch" in kinds
+    # mixture weights are preserved
+    assert sum(m.weight for m in s.moves) == pytest.approx(1.0)
+    # and the swapped sampler still runs
+    init = jnp.zeros((16386, 2)) + jnp.asarray(MU)
+    _, chain = s.run(jax.random.PRNGKey(0), init, 2)
+    assert np.isfinite(np.asarray(chain.log_probs)).all()
+
+
+def test_thinned_run_matches_unthinned_slice():
+    """thin=k inside the scan must reproduce samples[::k] of the
+    unthinned run and the identical final state (same step sequence)."""
+    s = EnsembleSampler(gauss_lp, 32, 2, moves=default_moves())
+    init = jnp.zeros((32, 2))
+    key = jax.random.PRNGKey(21)
+    state_full, full = s.run(key, init, 23)
+    for thin in (4, 5, 25):
+        state_t, thinned = s.run(key, init, 23, thin=thin)
+        np.testing.assert_array_equal(
+            np.asarray(thinned.samples), np.asarray(full.samples)[::thin]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(thinned.log_probs), np.asarray(full.log_probs)[::thin]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state_t.walkers), np.asarray(state_full.walkers)
+        )
+
+
+def test_x64_mode_is_float64_end_to_end(x64):
+    """Under x64 parity mode the walkers, proposals and chain are f64
+    throughout — uniform_init must not quantize to f32 (VERDICT r1)."""
+    bounds = np.array([(0.5, 0.8), (0.1, 0.7)])
+    init = uniform_init(jax.random.PRNGKey(0), bounds, 32)
+    assert init.dtype == jnp.float64
+    s = EnsembleSampler(gauss_lp, 32, 2, moves=default_moves())
+    state, chain = s.run(jax.random.PRNGKey(1), init, 5)
+    assert chain.samples.dtype == jnp.float64
+    assert state.walkers.dtype == jnp.float64
+    assert chain.log_probs.dtype == jnp.float64
