@@ -151,18 +151,31 @@ def list_presets():
     return sorted(PRESETS)
 
 
-def get_preset(name: str, model: str = "wzcdm", fast: bool = False, **kwargs) -> FitSpec:
+def get_preset(
+    name: str,
+    model: str = "wzcdm",
+    fast: bool = False,
+    synthetic_sys: bool = False,
+    **kwargs,
+) -> FitSpec:
     """Build a preset. ``fast=True`` swaps the reference-matched parity
     discretisations for the production TPU path (GL BAO distances,
     compressed Chebyshev-basis SN chi^2) — same physics, converged
-    beyond the reference's own discretisation error."""
+    beyond the reference's own discretisation error.
+
+    ``synthetic_sys=True`` adds the deterministic synthetic systematic
+    covariance to SN datasets whose published one is stripped from the
+    checkout (cosmax/data/synthetic_cov.py) — full-scale dense
+    covariances with realistic structure, NOT comparable to published
+    chi^2."""
     if name not in PRESETS:
         raise KeyError(
             f"unknown preset {name!r}; available: {', '.join(list_presets())}"
         )
     from cosmax.likelihoods.fastmode import use_fast_mode
+    from cosmax.data.loaders import use_synthetic_sys
 
-    with use_fast_mode(fast):
+    with use_fast_mode(fast), use_synthetic_sys(synthetic_sys):
         fit = PRESETS[name](model, **kwargs)
     if fit.moves is None:
         fit = replace(fit, moves=default_moves())

@@ -12,6 +12,7 @@ covariance and set ``synthetic_cov=True``.
 """
 
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from functools import lru_cache
 
@@ -20,6 +21,53 @@ import numpy as np
 from cosmax.ops.linalg import whitening_operator, log_det_cov
 
 _STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "store")
+
+# --- synthetic-systematics switch -----------------------------------------
+# The four large SN systematic covariances are stripped from the mounted
+# reference checkout (see cosmax/data/synthetic_cov.py). Default: fall
+# back to the diagonal statistical covariance. Inside
+# ``use_synthetic_sys()`` the loaders instead add a deterministic,
+# realistically-structured synthetic systematic term so the dense
+# full-covariance code paths run at the true problem scale. Either way
+# the dataset is marked ``synthetic_cov=True`` — chi^2 against these is
+# never comparable to the published full-covariance results.
+_SYNTHETIC_SYS = False
+
+
+def synthetic_sys_enabled() -> bool:
+    return _SYNTHETIC_SYS
+
+
+@contextmanager
+def use_synthetic_sys(on: bool = True):
+    global _SYNTHETIC_SYS
+    prev = _SYNTHETIC_SYS
+    _SYNTHETIC_SYS = on
+    try:
+        yield
+    finally:
+        _SYNTHETIC_SYS = prev
+
+
+@lru_cache(maxsize=None)
+def _synthetic_sys_for(name: str):
+    """Synthetic systematic covariance on the dataset's FULL table (the
+    reference applies selection cuts to the loaded full matrix, so the
+    same generated matrix must serve every selection of the bundle)."""
+    from cosmax.data.synthetic_cov import seed_for, synthetic_sys_cov
+
+    b = _bundle(name)
+    if name == "pantheon_plus":
+        z, err = b["z_hd"], b["m_b_corr_err_diag"]
+    elif name == "des5y":
+        z, err = b["z_hd"], b["mu_err"]
+    elif name == "union21":
+        z, err = b["z"], b["sigma_mu"]
+    elif name == "pantheon18":
+        z, err = b["z_cmb"], b["dmb"]
+    else:
+        raise KeyError(name)
+    return synthetic_sys_cov(z, err, seed=seed_for(name))
 
 # BAO quantity codes shared with the ingest tool and the BAO likelihood
 # (reference bao/desi.py:69-75).
@@ -121,7 +169,10 @@ def load_sn(name: str = "pantheon_plus", **kwargs) -> CovDataset:
         if "cov" in b:
             cov, synth = b["cov"][np.ix_(sel, sel)], False
         else:
-            cov, synth = np.diag(b["m_b_corr_err_diag"][sel] ** 2), True
+            cov = np.diag(b["m_b_corr_err_diag"][sel] ** 2)
+            if _SYNTHETIC_SYS:
+                cov = cov + _synthetic_sys_for("pantheon_plus")[np.ix_(sel, sel)]
+            synth = True
         extras = dict(z_cmb=z[sel], z_hel=b["z_hel"][sel])
         if name == "pantheon_plus_shoes":
             extras["ceph_dist"] = b["ceph_dist"][sel]
@@ -133,7 +184,10 @@ def load_sn(name: str = "pantheon_plus", **kwargs) -> CovDataset:
         if "cov_sys" in b:
             cov, synth = b["cov_sys"] + np.diag(b["mu_err"] ** 2), False
         else:
-            cov, synth = np.diag(b["mu_err"] ** 2), True
+            cov = np.diag(b["mu_err"] ** 2)
+            if _SYNTHETIC_SYS:
+                cov = cov + _synthetic_sys_for("des5y")
+            synth = True
         return CovDataset(
             str(b["legend"]),
             b["mu"],
@@ -164,7 +218,10 @@ def load_sn(name: str = "pantheon_plus", **kwargs) -> CovDataset:
         if "cov" in b:
             cov, synth = b["cov"], False
         else:
-            cov, synth = np.diag(b["sigma_mu"] ** 2), True
+            cov = np.diag(b["sigma_mu"] ** 2)
+            if _SYNTHETIC_SYS:
+                cov = cov + _synthetic_sys_for("union21")
+            synth = True
         return CovDataset(
             str(b["legend"]), b["mu"], cov, synth, dict(z_cmb=b["z"], z_hel=b["z"])
         )
@@ -174,7 +231,10 @@ def load_sn(name: str = "pantheon_plus", **kwargs) -> CovDataset:
         if "cov_sys" in b:
             cov, synth = b["cov_sys"] + np.diag(b["dmb"] ** 2), False
         else:
-            cov, synth = np.diag(b["dmb"] ** 2), True
+            cov = np.diag(b["dmb"] ** 2)
+            if _SYNTHETIC_SYS and name == "pantheon18":
+                cov = cov + _synthetic_sys_for("pantheon18")
+            synth = True
         return CovDataset(
             str(b["legend"]), b["mb"], cov, synth, dict(z_cmb=b["z_cmb"], z_hel=b["z_hel"])
         )

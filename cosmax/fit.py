@@ -46,6 +46,11 @@ def main(argv=None):
                         "SN basis (default: reference-matched parity grids)")
     p.add_argument("--x64", action="store_true",
                    help="float64 parity mode (slow on TPU)")
+    p.add_argument("--synthetic-sys", action="store_true",
+                   help="add the deterministic synthetic systematic "
+                        "covariance to SN datasets whose published one "
+                        "is stripped from the checkout (full-scale dense "
+                        "structure; chi^2 NOT comparable to published)")
     p.add_argument("--list", action="store_true", help="list presets")
     args = p.parse_args(argv)
 
@@ -77,7 +82,8 @@ def main(argv=None):
     from cosmax.samplers.ensemble import uniform_init, stretch_only, default_moves
     from cosmax.report import summarize, format_summary, plots
 
-    fit = get_preset(args.preset, args.model, fast=args.fast)
+    fit = get_preset(args.preset, args.model, fast=args.fast,
+                     synthetic_sys=args.synthetic_sys)
     n_walkers = args.walkers if args.walkers is not None else fit.n_walkers
     n_steps = args.steps if args.steps is not None else fit.n_steps
     burn_in = args.burn_in if args.burn_in is not None else fit.burn_in
