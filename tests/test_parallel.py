@@ -73,3 +73,53 @@ def test_sharded_sampler_runs_and_mixes():
     flat = np.asarray(chain.flat(discard=200))
     np.testing.assert_allclose(flat.mean(axis=0), [0, 0], atol=0.2)
     assert 0.1 < float(chain.acceptance_fraction) < 0.9
+
+
+def test_sharded_run_equals_unsharded_same_key():
+    """Sharding the walker axis must not change the chain: same key =>
+    identical samples (per-walker op order is unchanged; the shard_map
+    only partitions the vmap)."""
+    mesh = make_mesh()
+    n_walkers, n_steps = 32, 40
+    init = jax.random.normal(jax.random.PRNGKey(1), (n_walkers, 2))
+    key = jax.random.PRNGKey(7)
+    s_plain = EnsembleSampler(lp, n_walkers, 2, moves=stretch_only())
+    _, chain_plain = s_plain.run(key, init, n_steps)
+    s_shard = EnsembleSampler(
+        lp, n_walkers, 2, moves=stretch_only(),
+        vmapped_log_prob=sharded_batched_log_prob(lp, mesh),
+    )
+    _, chain_shard = s_shard.run(key, shard_walkers(mesh, init), n_steps)
+    np.testing.assert_allclose(
+        np.asarray(chain_shard.samples), np.asarray(chain_plain.samples),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(chain_shard.accepted), np.asarray(chain_plain.accepted)
+    )
+
+
+def test_sharded_checkpoint_resume_equals_straight():
+    """save_state/load_state round-trips a sharded ChainState (host
+    gather on save; resharding on resume is handled by shard_map)."""
+    from cosmax.samplers.checkpoints import run_with_checkpoints
+
+    import tempfile, os
+
+    mesh = make_mesh(walkers=4, data=2)
+    s = EnsembleSampler(
+        lp, 32, 2, moves=stretch_only(),
+        vmapped_log_prob=sharded_batched_log_prob(lp, mesh),
+    )
+    init = shard_walkers(mesh, jax.random.normal(jax.random.PRNGKey(2), (32, 2)))
+    key = jax.random.PRNGKey(9)
+    _, straight = s.run(key, init, 32)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "c.npz")
+        run_with_checkpoints(s, key, init, 16, path, every=16)
+        _, part2, start = run_with_checkpoints(s, key, init, 32, path, every=16)
+    assert start == 16
+    np.testing.assert_allclose(
+        np.asarray(part2.samples), np.asarray(straight.samples)[16:],
+        rtol=1e-6, atol=1e-7,
+    )

@@ -14,7 +14,13 @@ import time
 
 sys.path.insert(0, ".")
 
-# (preset, model, kwargs, published{param: (median, sigma)}, chi2_pub)
+# (preset, model, kwargs, published{param: (median, sigma)}, chi2_pub[, extra])
+# extra (optional dict):
+#   steps_mult — multiply the step cap (outlier configs get 4x chains so
+#                median noise is << the 0.1-sigma target)
+#   alt       — {"label", "target": {param: median}}: a second, exactly
+#               reproducible target (e.g. the current-code MAP) when the
+#               published row predates the current reference code
 CASES = [
     ("bao.desi", "lcdm", {},
      {"h": (0.690, 0.005), "Om": (0.298, 0.009)}, 10.27),
@@ -65,7 +71,15 @@ CASES = [
      38.8),
     ("bao.desi_cmb", "lcdm", {"compression": "desi"},
      {"rd": (148.41, 0.51), "H0": (68.01, 0.43), "Om": (0.3051, 0.006),
-      "Obh2": (0.02231, 0.0002)}, 11.76),
+      "Obh2": (0.02231, 0.0002)}, 11.76,
+     {"steps_mult": 4,
+      # The published row predates the current reference code (see the
+      # Attribution section emitted below); the exactly reproducible
+      # target is the current-code MAP, computed by scipy minimisation
+      # of the f64 likelihood (chi2_min = 11.8495).
+      "alt": {"label": "current-code MAP",
+              "target": {"rd": 148.4473, "H0": 67.9798, "Om": 0.30529,
+                         "Obh2": 0.0223128}}}),
     ("sn.union3_cmb", "lcdm", {},
      {"H0": (67.11, 0.57), "Om": (0.319, 0.008), "dM": (-0.167, 0.09)}, 26.2),
     ("cc.cc_union3", "lcdm", {},
@@ -73,17 +87,89 @@ CASES = [
       "Om": (0.349, 0.025)}, 54.25),
     ("qsr.desi", "lcdm", {},
      {"dM_qsr": (-0.197, 0.087), "s": (0.408, 0.07), "rd": (144.86, 1.05),
-      "Om": (0.299, 0.009)}, 29.93),
+      "Om": (0.299, 0.009)}, 29.93, {"steps_mult": 4}),
     ("qsr.union3", "lcdm", {},
      {"dM_qsr": (-0.099, 0.09), "s": (0.382, 0.07), "dM": (-0.068, 0.09),
       "Om": (0.370, 0.028)}, 44.00),
     ("fs8.fs8", "lcdm", {},
      {"Om": (0.268, 0.020), "sigma8": (0.789, 0.015), "f_err": (0.78, 0.07)},
-     62.73),
+     62.73, {"steps_mult": 4}),
 ]
 
+ATTRIBUTION = """\
+## Attribution of residual drifts (VERDICT r1 item 2)
 
-def run_case(name, model, kwargs, published, chi2_pub, quick=False):
+**bao.desi_cmb [lcdm, desi compression]** — the published row
+(rd=148.41, H0=68.01, chi2=11.76, bao/desi_cmb.py:219-237) predates the
+current reference code and cannot be reproduced by it:
+
+* cosmax's likelihood is *bit-identical* to the current reference
+  algorithm: executing the reference's own data_desi_compression +
+  scipy/numpy pipeline at the published medians gives chi2_cmb=1.1038,
+  chi2_bao=11.1121, total 12.2159 — exactly cosmax's f64 values.
+* the minimum of that likelihood is chi2=11.8495 at rd=148.447,
+  H0=67.980, Om=0.30529, wb=0.022313 (scipy Nelder-Mead) — so no point
+  in parameter space reaches the published 11.76.
+* the published derived z*=1091.83 equals the Hu-Sugiyama fitting form
+  z_star_HU(0.02231, 0.14112)=1091.8313 exactly, while the current code
+  (and the published r*=144.90, which matches A4's 144.907) uses the
+  Aizpuru A4 formula — i.e. the published run mixed an older z* variant
+  at reporting time.
+
+cosmax's posterior median sits on the current-code MAP to <= 0.02
+sigma; the residual ~0.1 sigma against the *published* medians is
+reference-version drift, not a cosmax bias. The table reports both.
+
+**fs8.fs8 / qsr.desi chi2@median drifts** — at the published medians the
+f64 chi2 is 62.697 (fs8, pub 62.73) and 29.955 = 10.306 bao + 19.649
+qso (qsr.desi, pub 29.93 = 10.32 + 19.62): agreement to the published
+rounding. Fast-mode (growth emulator / prefix-GL) chi2 equals the
+parity path to 4 decimals at those points, so the drift seen in
+short-chain tables was median sampling noise; these rows now use 4x
+chains.
+"""
+
+UNVERIFIABLE = """\
+## Unverifiable BASELINE.md rows (stripped systematic covariances)
+
+The mounted reference checkout strips four large covariance blobs
+(reference .MISSING_LARGE_BLOBS; no network egress on this box):
+Pantheon+ STAT+SYS 1701^2 (y2022pantheonSHOES/data.py:22-29), DES-SN5YR
+STAT+SYS 1829^2 (y2024DES/data.py:18-20), Union2.1 580^2
+(y2011union2/data.py:9-19) and Pantheon18 1048^2 (y2018pantheon/
+data.py:17). Every configuration using one of those datasets in dense
+form is therefore *unverifiable against its published posterior* —
+published medians/chi2 were produced with the full covariances, which
+cannot be reconstructed:
+
+| BASELINE row (reference script) | missing blob |
+|---|---|
+| sn/pantheon.py, sn/pantheon_and_sh0es.py | Pantheon+ 1701^2 |
+| sn/des5y.py | DES5Y 1829^2 |
+| sn/union2.py | Union2.1 580^2 |
+| sn/pantheon18.py (full; the 40-bin variant IS validated) | Pantheon18 1048^2 |
+| sn/pantheon_cmb.py, sn/des5y_cmb.py | Pantheon+ / DES5Y |
+| bao/desi_pantheon.py, bao/desi_des5y.py | Pantheon+ / DES5Y |
+| bao/desi_pantheon_cc.py, bao/desi_des5y_cc.py | Pantheon+ / DES5Y |
+| bao/desi_cmb_pantheon.py, bao/desi_cmb_des5y.py (flagship) | Pantheon+ / DES5Y |
+| bao/desi_des5y_bbn.py, bao/desi_des5y_omh2.py | DES5Y |
+| cosmic_chronometers/cc_pantheon.py, cc_des5y.py | Pantheon+ / DES5Y |
+| quasars/qsr_pantheon.py, qsr_des5y.py, qsr_des5y_desi.py | Pantheon+ / DES5Y |
+
+What IS verified instead (tests/test_synthetic_cov.py): with a
+deterministic, realistically-structured synthetic systematic covariance
+at the full scale (dense 1829^2 / 1657^2 incl. SH0ES Cepheid rows), the
+compressed Chebyshev-basis chi^2 equals an independent numpy dense
+whitened evaluation to 1e-9 relative, and the end-to-end dense parity
+path agrees at quadrature level — i.e. both SN code paths are proven
+correct for arbitrary dense covariances; only the published *numbers*
+are unreachable. All these configs still build, sample, and are
+exercised by tests (diagonal fallback by default; `--synthetic-sys`
+for full-scale dense structure).
+"""
+
+
+def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False):
     import numpy as np
     import jax
 
@@ -92,11 +178,13 @@ def run_case(name, model, kwargs, published, chi2_pub, quick=False):
     from cosmax.samplers.ensemble import uniform_init
     from cosmax.report import summarize
 
+    extra = extra or {}
     fit = get_preset(name, model, fast=True, **kwargs)
     n_walkers = min(fit.n_walkers, 128) if quick else fit.n_walkers
     if n_walkers % 2:
         n_walkers += 1
-    n_steps = min(fit.n_steps, 1200) if quick else min(fit.n_steps, 3000)
+    cap = 1200 if quick else 3000 * extra.get("steps_mult", 1)
+    n_steps = min(fit.n_steps * extra.get("steps_mult", 1), cap)
     seed = fit.seed or 0
     sampler = EnsembleSampler(fit.log_prob(), n_walkers, fit.spec.dim,
                               moves=fit.moves)
@@ -109,18 +197,25 @@ def run_case(name, model, kwargs, published, chi2_pub, quick=False):
     summ = summarize(fit, chain, discard=min(fit.burn_in, n_steps // 4))
     rows = []
     worst = 0.0
+    alt = extra.get("alt")
+    worst_alt = 0.0 if alt else None
     for pname, (med_pub, sig_pub) in published.items():
         got = summ["params"][pname]
         sig_got = 0.5 * (got["plus"] + got["minus"])
         zscore = abs(got["median"] - med_pub) / sig_pub
         worst = max(worst, zscore)
+        z_alt = None
+        if alt and pname in alt["target"]:
+            z_alt = abs(got["median"] - alt["target"][pname]) / sig_pub
+            worst_alt = max(worst_alt, z_alt)
         rows.append(
-            (pname, med_pub, sig_pub, got["median"], sig_got, zscore)
+            (pname, med_pub, sig_pub, got["median"], sig_got, zscore, z_alt)
         )
     chi2_got = summ["chi2_total"]
     return dict(
         preset=name, model=model, kwargs=kwargs, rows=rows,
         chi2_pub=chi2_pub, chi2_got=chi2_got, worst_z=worst,
+        worst_z_alt=worst_alt, alt_label=alt["label"] if alt else None,
         walltime=dt, acceptance=summ["acceptance_fraction"],
         ess=summ["effective_samples"],
     )
@@ -175,23 +270,32 @@ def main(argv=None):
         label = f"{r['preset']} [{r['model']}]"
         if r["kwargs"]:
             label += f" {r['kwargs']}"
-        for i, (pname, mp, sp, mg, sg, z) in enumerate(r["rows"]):
+        for i, (pname, mp, sp, mg, sg, z, z_alt) in enumerate(r["rows"]):
+            zcol = f"{z:.2f}" + (
+                f" ({z_alt:.2f} vs {r['alt_label']})" if z_alt is not None else ""
+            )
             lines.append(
                 f"| {label if i == 0 else ''} | {pname} | "
-                f"{mp:g} ± {sp:g} | {mg:.4f} ± {sg:.4f} | {z:.2f} |"
+                f"{mp:g} ± {sp:g} | {mg:.4f} ± {sg:.4f} | {zcol} |"
             )
         chi2_pub = f"{r['chi2_pub']:g}" if r["chi2_pub"] is not None else "—"
         lines.append(
             f"| | chi2@median | {chi2_pub} | {r['chi2_got']:.2f} | |"
         )
-        summary_rows.append((label, r["worst_z"]))
+        summary_rows.append((label, r["worst_z"], r["worst_z_alt"], r["alt_label"]))
     lines.append("")
     lines.append("## Summary")
     lines.append("")
     lines.append("| config | worst z |")
     lines.append("|---|---|")
-    for label, worst in summary_rows:
-        lines.append(f"| {label} | {worst:.2f} |")
+    for label, worst, worst_alt, alt_label in summary_rows:
+        wcol = f"{worst:.2f}" + (
+            f" ({worst_alt:.2f} vs {alt_label})" if worst_alt is not None else ""
+        )
+        lines.append(f"| {label} | {wcol} |")
+    lines.append("")
+    lines.append(ATTRIBUTION)
+    lines.append(UNVERIFIABLE)
     with open(args.out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {args.out}")
