@@ -70,6 +70,14 @@ def main(argv=None):
     plt.savefig(os.path.join(args.out, "cc_gp_qz.png"), dpi=150)
     plt.close()
 
+    # predictive-covariance heatmap (cc_gp.py:130-134)
+    plt.figure(figsize=(6, 5))
+    plt.imshow(out["h_cov"], cmap="hot", interpolation="none")
+    plt.colorbar()
+    plt.title("Covariance Matrix")
+    plt.savefig(os.path.join(args.out, "cc_gp_cov.png"), dpi=150)
+    plt.close()
+
     with open(os.path.join(args.out, "gp_summary.json"), "w") as f:
         json.dump(
             dict(
@@ -83,7 +91,8 @@ def main(argv=None):
             f,
             indent=2,
         )
-    print(f"wrote {args.out}/cc_gp_Hz.png, cc_gp_qz.png, gp_summary.json")
+    print(f"wrote {args.out}/cc_gp_Hz.png, cc_gp_qz.png, cc_gp_cov.png, "
+          "gp_summary.json")
     return 0
 
 

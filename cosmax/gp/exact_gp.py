@@ -203,6 +203,7 @@ def reconstruct_hz(z, h, cov, n_grid: int = 100, **kwargs):
         z_grid=np.asarray(z_grid),
         h_mean=h_mean,
         h_std=h_std,
+        h_cov=np.asarray(cov_s) * info["y_std"] ** 2,
         q=np.asarray(q),
         info=info,
         params=params,

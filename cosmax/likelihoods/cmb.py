@@ -166,8 +166,10 @@ def build_cmb_term(
     linv = whitening_operator(np.linalg.inv(comp.inv_cov))
 
     def chi2(p):
+        from cosmax.ops.linalg import pdot
+
         delta = jnp.asarray(priors) - cmb_observables(comp, p, model, order)
-        wht = linv @ delta
+        wht = pdot(jnp.asarray(linv), delta)
         return jnp.sum(wht * wht)
 
     return Term(

@@ -64,6 +64,8 @@ def bbn_shonberg_2d_term(param_wb: str = "Obh2", n_eff: float = 3.044 - 0.1) -> 
         delta = jnp.stack(
             [data[0] - p[param_wb], jnp.asarray(data[1] - n_eff, dtype=jnp.result_type(p[param_wb]))]
         )
-        return delta @ jnp.asarray(icov) @ delta
+        from cosmax.ops.linalg import pdot
+
+        return pdot(delta, pdot(jnp.asarray(icov), delta))
 
     return Term(name="bbn_shonberg2d", chi2=chi2, meta=dict(n=2))

@@ -217,15 +217,17 @@ def _build_compressed_sn(
             [g, jnp.reshape(p[mag_param], (1,))]
         ) - jnp.asarray(c_ref, dtype=g.dtype)
 
+    from cosmax.ops.linalg import pdot
+
     def chi2(p):
         dc = coeffs(p)
-        return chi2_ref - 2.0 * (jnp.asarray(b_vec, dtype=dc.dtype) @ dc) + dc @ (
-            jnp.asarray(gram, dtype=dc.dtype) @ dc
+        return chi2_ref - 2.0 * pdot(jnp.asarray(b_vec, dtype=dc.dtype), dc) + pdot(
+            dc, pdot(jnp.asarray(gram, dtype=dc.dtype), dc)
         )
 
     def theory_mag(p):
         dc = coeffs(p)
-        full = jnp.asarray(b_tilde) @ (dc + jnp.asarray(c_ref, dtype=dc.dtype))
+        full = pdot(jnp.asarray(b_tilde), dc + jnp.asarray(c_ref, dtype=dc.dtype))
         return jnp.asarray(const) + full
 
     return Term(

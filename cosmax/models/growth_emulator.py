@@ -91,10 +91,14 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
         return jnp.where(jnp.any(near), near.astype(w.dtype), w)
 
     def emulate(p):
+        import jax
+
         out = table_j
         for name, nodes in zip(pnames, axes_j):
             w = bary_vector(p[name], nodes)
-            out = jnp.tensordot(w, out, axes=(0, 0))
+            out = jnp.tensordot(
+                w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
+            )
         return out
 
     return emulate

@@ -45,6 +45,8 @@ def reconstruct(om: float, w0: float, o_r: float = 4e-5, a_grid=None) -> dict:
     dphi_da = jnp.sqrt(jnp.clip(rho * (1.0 + w), 0.0, None)) / (a * h)
     phi = cumtrapz(dphi_da, a)
     dphi_dt = dphi_da * h * a
+    # cosmic time t(a) = int da / (a H) (field.py:74-75, H0=1 units)
+    t = cumtrapz(1.0 / (a * h), a)
     phi_grid = jnp.linspace(phi.min(), phi.max(), a.shape[0])
     # V(phi) via monotone interpolation of a(phi)
     a_of_phi = jnp.interp(phi_grid, phi, a)
@@ -54,6 +56,7 @@ def reconstruct(om: float, w0: float, o_r: float = 4e-5, a_grid=None) -> dict:
         phi=np.asarray(phi),
         v_of_a=np.asarray(v_of_a),
         dphi_dt=np.asarray(dphi_dt),
+        t=np.asarray(t),
         phi_grid=np.asarray(phi_grid),
         v_of_phi=np.asarray(v_of_phi),
     )

@@ -16,7 +16,23 @@ fast-path f32 error enters only in the final matmul.
 
 import numpy as np
 import scipy.linalg
+import jax
 import jax.numpy as jnp
+
+# TPU MXU matmuls run with bfloat16 inputs at the default precision —
+# fine for neural nets, catastrophic for chi^2: measured on a v5e,
+# walker-batched log-likelihoods were off by up to ~11 (!) in logL at
+# default precision vs 0.07 worst-case at full f32, visibly shifting
+# posteriors by ~0.3 sigma (round-2 validation). Every likelihood-path
+# matmul therefore pins Precision.HIGHEST (exact f32 via 6-pass bf16);
+# tests/test_likelihood_parity.py::test_all_dots_pin_highest_precision
+# guards regressions. CPU/GPU are unaffected (f32 is f32 there).
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def pdot(a, b):
+    """matmul pinned to full-f32 accumulation (see HIGHEST above)."""
+    return jnp.matmul(a, b, precision=HIGHEST)
 
 
 def whitening_operator(cov: np.ndarray) -> np.ndarray:
@@ -35,5 +51,5 @@ def log_det_cov(cov: np.ndarray) -> float:
 
 def chi2_from_whitener(linv, delta):
     """chi^2 = ||Linv delta||^2 for delta of shape [..., N]."""
-    wht = delta @ linv.T
+    wht = pdot(delta, jnp.asarray(linv).T)
     return jnp.sum(wht * wht, axis=-1)

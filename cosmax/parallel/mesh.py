@@ -91,7 +91,9 @@ def data_sharded_chi2(linv, mesh: Mesh):
         out_specs=P("w"),
     )
     def chi2_shards(linv_block, delta):
-        wht = delta @ linv_block.T  # [w_local, N] @ [N, n_local]
+        from cosmax.ops.linalg import pdot
+
+        wht = pdot(delta, linv_block.T)  # [w_local, N] @ [N, n_local]
         partial_chi2 = jnp.sum(wht * wht, axis=-1)
         return jax.lax.psum(partial_chi2, axis_name="d")
 

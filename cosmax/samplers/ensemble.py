@@ -155,18 +155,20 @@ def _kde_proposal(key, active, comp, spec: MoveSpec):
     proposal = comp[j] + bw * L eps with Scott's bandwidth; Metropolis
     factor log q(active) - log q(proposal) under the complement KDE.
     """
+    from cosmax.ops.linalg import pdot
+
     nh, ndim = active.shape
     nc = comp.shape[0]
     k1, k2 = jax.random.split(key)
     bw = nc ** (-1.0 / (ndim + 4))  # Scott factor
     mean = jnp.mean(comp, axis=0)
     centered = comp - mean
-    cov = (centered.T @ centered) / (nc - 1)
+    cov = pdot(centered.T, centered) / (nc - 1)
     cov = cov + 1e-12 * jnp.eye(ndim, dtype=cov.dtype)
     chol = jnp.linalg.cholesky(cov)
     (j,) = _rand_distinct(k1, nc, (nh,), 1)
     eps = jax.random.normal(k2, (nh, ndim), dtype=active.dtype)
-    prop = comp[j] + bw * (eps @ chol.T)
+    prop = comp[j] + bw * pdot(eps, chol.T)
 
     # Whiten once and use the Gram expansion
     # ||u_i - v_j||^2 = |u_i|^2 + |v_j|^2 - 2 u_i.v_j, so the Mahalanobis
@@ -192,7 +194,7 @@ def _kde_proposal(key, active, comp, spec: MoveSpec):
 
         def chunk(args):
             uc, usqc = args
-            maha = usqc[:, None] + v_sq[None, :] - 2.0 * (uc @ v.T)
+            maha = usqc[:, None] + v_sq[None, :] - 2.0 * pdot(uc, v.T)
             return jax.scipy.special.logsumexp(-0.5 * maha, axis=1)
 
         out = jax.lax.map(

@@ -63,3 +63,17 @@ def test_predict_interpolates_data(cc):
     mean, cov = gp.predict(params, np.asarray(cc.z))
     resid = (np.asarray(mean) * info["y_std"] + info["y_mean"]) - cc.values
     assert np.abs(resid).max() < 3 * np.sqrt(np.diag(cc.cov)).max()
+
+
+def test_predictive_covariance_returned(fitted):
+    """h_cov feeds the cc_gp covariance heatmap (reference
+    cc_gp.py:130-134): PSD, diag consistent with h_std."""
+    cov = fitted["h_cov"]
+    n = fitted["z_grid"].size
+    assert cov.shape == (n, n)
+    np.testing.assert_allclose(
+        np.sqrt(np.clip(np.diag(cov), 0, None)), fitted["h_std"],
+        rtol=1e-6, atol=1e-9,
+    )
+    evals = np.linalg.eigvalsh(0.5 * (cov + cov.T))
+    assert evals.min() > -1e-8 * evals.max()

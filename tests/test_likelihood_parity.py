@@ -257,3 +257,46 @@ def test_x64_parity_chi2_vs_oracle_1e9(x64):
     theory = oracles.bao_theory(ds.z, ds.quantity, 100.0 * h, om, "lcdm")
     want = oracles.gaussian_chi2(ds.values - theory, ds.cov)
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_all_dots_pin_highest_precision():
+    """Every dot_general in a jitted log-prob must carry
+    Precision.HIGHEST: TPU MXU matmuls default to bfloat16 inputs,
+    which was measured to corrupt walker-batched logL by up to ~11
+    (cosmax/ops/linalg.py HIGHEST note). Guards all likelihood paths
+    plus the sampler step."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosmax.samplers import EnsembleSampler, default_moves
+
+    def collect_dots(jaxpr, out):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "dot_general":
+                out.append(eqn.params.get("precision"))
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                collect_dots(sub, out)
+        return out
+
+    highest = (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST)
+    for preset, model, kw in [
+        ("bao.desi_cmb_des5y", "wzcdm", dict(fast=True)),
+        ("cc.cc_union3", "lcdm", dict(fast=True)),
+        ("joint.multiprobe", "wzcdm", dict(fast=True)),
+        ("bao.desi_cmb_des5y", "wzcdm", dict(fast=False)),
+    ]:
+        fit = get_preset(preset, model, **kw)
+        lp = jax.vmap(fit.log_prob())
+        w = jnp.zeros((4, fit.spec.dim), dtype=jnp.float32)
+        dots = collect_dots(jax.make_jaxpr(lp)(w).jaxpr, [])
+        assert dots, f"{preset}: expected at least one dot_general"
+        bad = [p for p in dots if p != highest]
+        assert not bad, f"{preset}: {len(bad)}/{len(dots)} dots not HIGHEST: {bad}"
+
+    # the sampler step (KDE cov/Mahalanobis matmuls) too
+    s = EnsembleSampler(lambda x: -0.5 * jnp.sum(x * x), 32, 3,
+                        moves=default_moves())
+    state = s.init_state(jax.random.PRNGKey(0), jnp.zeros((32, 3)))
+    dots = collect_dots(jax.make_jaxpr(s.step)(state).jaxpr, [])
+    bad = [p for p in dots if p != highest]
+    assert not bad, f"sampler step: {len(bad)}/{len(dots)} dots not HIGHEST"

@@ -52,3 +52,25 @@ def test_residual_histogram(tmp_path):
     resid = np.random.default_rng(3).normal(0, 0.15, 500)
     fig = plots.residual_histogram(resid, title="residuals")
     fig.savefig(tmp_path / "hist.png")
+
+
+def test_field_cli_writes_five_figures(tmp_path):
+    """python -m cosmax.field produces the reference field.py figures
+    (field.py:41-104): phi(a), V(phi), V(a), kinetic term, phi(t)."""
+    from cosmax.field import main
+
+    assert main(["--out", str(tmp_path)]) == 0
+    for name in ("field_phi_a.png", "field_v_phi.png", "field_v_a.png",
+                 "field_kinetic_t.png", "field_phi_t.png"):
+        assert (tmp_path / name).stat().st_size > 0, name
+
+
+def test_field_cli_reads_summary(tmp_path):
+    import json
+
+    from cosmax.field import main
+
+    summ = dict(params={"Om": {"median": 0.31}, "w0": {"median": -0.85}})
+    (tmp_path / "summary.json").write_text(json.dumps(summ))
+    assert main(["--summary", str(tmp_path), "--out", str(tmp_path / "figs")]) == 0
+    assert (tmp_path / "figs" / "field_phi_a.png").stat().st_size > 0
