@@ -1,5 +1,6 @@
 from cosmax.parallel.mesh import (
     make_mesh,
+    make_multislice_mesh,
     walker_sharding,
     shard_walkers,
     sharded_batched_log_prob,
@@ -8,6 +9,7 @@ from cosmax.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "make_multislice_mesh",
     "walker_sharding",
     "shard_walkers",
     "sharded_batched_log_prob",

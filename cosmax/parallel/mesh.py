@@ -40,9 +40,43 @@ def make_mesh(walkers: int = None, data: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(walkers, data), axis_names=("w", "d"))
 
 
+def make_multislice_mesh(
+    n_slices: int, walkers: int = None, data: int = 1, devices=None
+) -> Mesh:
+    """('s', 'w', 'd') mesh for multi-pod-slice runs (DCN between
+    slices, ICI within).
+
+    The workload's communication profile makes the slice split cheap:
+    the walker axis is sharded over ('s', 'w') and the only cross-slice
+    traffic per MCMC step is the red-black complementary-half gather of
+    the [W/2, D] walker block — D ~ 10 parameters, i.e. kilobytes —
+    which DCN absorbs easily. The bandwidth-hungry axis, the
+    data-parallel chi^2 psum over covariance rows ('d'), is laid out
+    innermost so it stays on ICI within a slice. Device order must list
+    each slice's chips contiguously (as jax.devices() does on
+    multi-slice deployments).
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if walkers is None:
+        walkers = devices.size // (n_slices * data)
+    if n_slices * walkers * data != devices.size:
+        raise ValueError(
+            f"mesh {n_slices}x{walkers}x{data} != {devices.size} devices"
+        )
+    return Mesh(
+        devices.reshape(n_slices, walkers, data), axis_names=("s", "w", "d")
+    )
+
+
+def _walker_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the walker dimension is sharded over — every axis
+    except the data axis 'd' (('w',) or ('s', 'w'))."""
+    return tuple(n for n in mesh.axis_names if n != "d")
+
+
 def walker_sharding(mesh: Mesh) -> NamedSharding:
     """[W, D] walker arrays sharded along the walker axis."""
-    return NamedSharding(mesh, P("w", None))
+    return NamedSharding(mesh, P(_walker_axes(mesh), None))
 
 
 def shard_walkers(mesh: Mesh, walkers):
@@ -55,12 +89,13 @@ def sharded_batched_log_prob(log_prob_fn, mesh: Mesh):
     Plug into ``EnsembleSampler(vmapped_log_prob=...)``.
     """
     local = jax.vmap(log_prob_fn)
+    all_axes = _walker_axes(mesh) + (("d",) if "d" in mesh.axis_names else ())
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=P(("w", "d"), None),
-        out_specs=P(("w", "d")),
+        in_specs=P(all_axes, None),
+        out_specs=P(all_axes),
     )
     def batched(walkers):
         return local(walkers)
@@ -83,12 +118,13 @@ def data_sharded_chi2(linv, mesh: Mesh):
     linv_dev = jax.device_put(
         jnp.asarray(linv), NamedSharding(mesh, P("d", None))
     )
+    w_axes = _walker_axes(mesh)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("d", None), P("w", None)),
-        out_specs=P("w"),
+        in_specs=(P("d", None), P(w_axes, None)),
+        out_specs=P(w_axes),
     )
     def chi2_shards(linv_block, delta):
         from cosmax.ops.linalg import pdot

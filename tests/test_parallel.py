@@ -123,3 +123,36 @@ def test_sharded_checkpoint_resume_equals_straight():
         np.asarray(part2.samples), np.asarray(straight.samples)[16:],
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_multislice_mesh_runs_and_matches():
+    """2 slices x 2 walker-chips x 2 data-chips ('s','w','d'): the
+    walker axis shards over (slice, walker) — cross-slice traffic is
+    only the tiny [W, D] gather — and the chi^2 psum stays on 'd'."""
+    from cosmax.parallel import make_multislice_mesh
+    from cosmax.ops.linalg import whitening_operator, chi2_from_whitener
+
+    mesh = make_multislice_mesh(2, walkers=2, data=2)
+    assert mesh.shape == {"s": 2, "w": 2, "d": 2}
+
+    walkers = jax.random.normal(jax.random.PRNGKey(3), (32, 2))
+    got = np.asarray(sharded_batched_log_prob(lp, mesh)(walkers))
+    np.testing.assert_allclose(got, np.asarray(jax.vmap(lp)(walkers)), rtol=2e-6)
+
+    rng = np.random.default_rng(1)
+    n = 23
+    a = rng.normal(size=(n, n))
+    linv = whitening_operator(a @ a.T + n * np.eye(n))
+    delta = rng.normal(size=(8, n)).astype(np.float32)
+    got = np.asarray(data_sharded_chi2(linv, mesh)(jnp.asarray(delta)))
+    want = np.asarray(chi2_from_whitener(jnp.asarray(linv, dtype=jnp.float32), delta))
+    np.testing.assert_allclose(got, want, rtol=5e-5)
+
+    # full sharded ensemble run on the 3-axis mesh
+    s = EnsembleSampler(
+        lp, 32, 2, moves=stretch_only(),
+        vmapped_log_prob=sharded_batched_log_prob(lp, mesh),
+    )
+    init = shard_walkers(mesh, jax.random.normal(jax.random.PRNGKey(5), (32, 2)))
+    _, chain = s.run(jax.random.PRNGKey(4), init, 50)
+    assert np.isfinite(np.asarray(chain.log_probs)).all()
