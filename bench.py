@@ -14,22 +14,34 @@ matmul — see cosmax/likelihoods/sn.py).
 Prints exactly one JSON line.
 """
 
+import argparse
 import json
 import time
 
 import numpy as np
 
+CONFIGS = {
+    # metric-name suffix: (preset, walkers)
+    "flagship": ("bao.desi_cmb_des5y", 131072),
+    "multiprobe": ("joint.multiprobe", 131072),
+}
 
-def main():
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", default="flagship", choices=sorted(CONFIGS))
+    ap.add_argument("--iters", type=int, default=50)
+    args = ap.parse_args(argv)
+    preset_name, n_walkers = CONFIGS[args.config]
+
     import jax
     import jax.numpy as jnp
 
     from cosmax.configs import get_preset
 
-    fit = get_preset("bao.desi_cmb_des5y", model="wzcdm", fast=True)
+    fit = get_preset(preset_name, model="wzcdm", fast=True)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
-    n_walkers = 131072
     rng = np.random.default_rng(0)
     lo, hi = fit.spec.bounds[:, 0], fit.spec.bounds[:, 1]
     mid, span = 0.5 * (lo + hi), 0.05 * (hi - lo)
@@ -43,7 +55,7 @@ def main():
     # does not actually block, so np.asarray forces completion)
     np.asarray(log_prob(walkers))
 
-    n_iters = 30
+    n_iters = args.iters
     t0 = time.perf_counter()
     out = None
     for i in range(n_iters):
@@ -52,10 +64,15 @@ def main():
     dt = time.perf_counter() - t0
 
     evals_per_sec = n_walkers * n_iters / dt
+    metric = (
+        "flagship_joint_logprob_evals_per_sec_chip"
+        if args.config == "flagship"
+        else f"{args.config}_joint_logprob_evals_per_sec_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "flagship_joint_logprob_evals_per_sec_chip",
+                "metric": metric,
                 "value": round(evals_per_sec, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(evals_per_sec / 1.0e6, 3),

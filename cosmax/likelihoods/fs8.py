@@ -55,24 +55,33 @@ def build_fs8_term(
     if fast_mode():
         # Chebyshev growth emulator: spectral tensor interpolation in
         # (Om, w0[, wa]) replaces the per-eval 999-step ODE scan
-        # (cosmax.models.growth_emulator; <=1e-7 agreement tested).
+        # (cosmax.models.growth_emulator; <=1e-7 agreement tested), and
+        # the AP comoving integrals share prefix panels over the sorted
+        # 66 data redshifts (528 E(z) evals/walker instead of 66x64).
         from cosmax.models.growth_emulator import make_fs8_emulator
+        from cosmax.models.distances import make_prefix_comoving_integral
 
         emulator = make_fs8_emulator(z, model, substeps=ode_substeps)
+        prefix_integral = make_prefix_comoving_integral(z, model, order=8)
 
         def theory_fs8(p):
             return p["sigma8"] * emulator(p)
+
+        def dm_integral(p):
+            return prefix_integral(p)
 
     else:
 
         def theory_fs8(p):
             return fsigma8(z, p, model, substeps=ode_substeps)
 
+        def dm_integral(p):
+            return comoving_integral_gl(z, p, model, order=gl_order)
+
     def residual(p):
         theory = theory_fs8(p)
         e_model = e_of_z(jnp.asarray(z), p, model)
-        dm_model = comoving_integral_gl(z, p, model, order=gl_order)
-        q = e_model * dm_model / fid_denom
+        q = e_model * dm_integral(p) / fid_denom
         return fs8_obs * q - theory
 
     def chi2(p):

@@ -77,7 +77,24 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
         jax.vmap(solve_one)(jnp.asarray(flat_params))
     ).reshape(*( [n_nodes] * ndim_p ), z_data.size)
 
-    table_j = jnp.asarray(table)
+    # The fsigma8 curves are smooth in z, so the [nodes..., Nz] table is
+    # very low-rank along z. A build-time truncated SVD (f64) factors it
+    # as table ~= A[nodes..., R] @ B[R, Nz] with R ~ 5-10 at 1e-9
+    # relative truncation — the per-walker barycentric contraction then
+    # touches R columns instead of Nz, cutting the batched MXU matmul
+    # ([W, K] x [K, K^(p-1) R]) by Nz/R ~ 7x. The full-f32 (HIGHEST)
+    # matmul passes this buys back are what made fs8 43% of the
+    # multiprobe joint.
+    flat = table.reshape(-1, z_data.size)
+    u, s, vt = np.linalg.svd(flat, full_matrices=False)
+    energy = np.cumsum(s**2) / np.sum(s**2)
+    rank = int(np.searchsorted(energy, 1.0 - 1e-18) + 1)
+    rank = min(rank, s.size)
+    a_fac = (u[:, :rank] * s[:rank]).reshape(*([n_nodes] * ndim_p), rank)
+    b_fac = vt[:rank]
+
+    table_j = jnp.asarray(a_fac)
+    b_j = jnp.asarray(b_fac)
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
 
@@ -99,6 +116,7 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
             out = jnp.tensordot(
                 w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
             )
-        return out
+        # expand the rank-R coefficients back onto the data redshifts
+        return jnp.tensordot(out, b_j, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
 
     return emulate
