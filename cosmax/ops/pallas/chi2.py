@@ -28,11 +28,15 @@ def _chi2_kernel(delta_ref, linv_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
-    # [BW, N] x [N, BN] on the MXU
+    # [BW, N] x [N, BN] on the MXU. precision=HIGHEST is load-bearing:
+    # preferred_element_type=f32 alone still multiplies in single-pass
+    # bf16 inside Mosaic (measured 6.2e-4 rel error vs 1.5e-7 with the
+    # 6-pass HIGHEST lowering — see ARCHITECTURE.md "Native code").
     wht = jax.lax.dot_general(
         delta_ref[:], linv_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     partial = jnp.sum(wht * wht, axis=1)
 
