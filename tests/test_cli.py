@@ -1,0 +1,68 @@
+"""End-to-end tests of the `python -m cosmax.fit` CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cosmax.fit import main
+
+
+def test_list_prints_all_presets(capsys):
+    from cosmax.configs import list_presets
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in list_presets():
+        assert name in out
+
+
+def test_fit_writes_outputs(tmp_path, capsys):
+    out = tmp_path / "run"
+    rc = main([
+        "--preset", "bao.desi", "--model", "lcdm", "--steps", "60",
+        "--walkers", "16", "--burn-in", "20", "--seed", "0",
+        "--no-plots", "--out", str(out),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "DESI BAO DR2" in text and "Chi squared" in text
+    with open(out / "summary.json") as f:
+        summ = json.load(f)
+    assert set(summ["params"]) == {"h", "Om"}
+    chain = np.load(out / "chain.npy")
+    assert chain.shape == (40, 16, 2)  # (steps - burn_in, walkers, dim)
+    assert np.isfinite(chain).all()
+
+
+def test_fit_checkpoint_resume(tmp_path, capsys):
+    ck = str(tmp_path / "state.npz")
+    args = ["--preset", "bao.desi", "--model", "lcdm", "--walkers", "16",
+            "--burn-in", "0", "--seed", "3", "--no-plots",
+            "--checkpoint", ck, "--checkpoint-every", "30"]
+    assert main(args + ["--steps", "30"]) == 0
+    capsys.readouterr()
+    assert main(args + ["--steps", "60"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from step 30" in out
+    # a third run with the same target is a no-op
+    assert main(args + ["--steps", "60"]) == 0
+    assert "nothing to do" in capsys.readouterr().out
+
+
+def test_fit_rejects_bad_budgets(capsys):
+    for bad in (["--steps", "0"], ["--walkers", "2"], ["--thin", "0"]):
+        with pytest.raises(SystemExit):
+            main(["--preset", "bao.desi", "--no-plots"] + bad)
+        capsys.readouterr()
+
+
+def test_gp_cli_writes_outputs(tmp_path, capsys):
+    from cosmax.gp.__main__ import main as gp_main
+
+    out = tmp_path / "gp"
+    assert gp_main(["--out", str(out), "--iters", "300", "--grid", "40"]) == 0
+    for name in ("cc_gp_Hz.png", "cc_gp_qz.png", "cc_gp_cov.png",
+                 "gp_summary.json"):
+        assert (out / name).stat().st_size > 0, name
