@@ -125,3 +125,24 @@ def test_compressed_vs_dense_fine_grid_dense_cov(x64, dsname, mag, h0, zhel):
         p = {"Om": om, "w0": w0, mag: -19.3 if mag == "M" else -0.05}
         a, b = float(comp.chi2(p)), float(dense.chi2(p))
         assert a == pytest.approx(b, abs=2e-3 * max(1.0, abs(b)) ** 0.5)
+
+
+@pytest.mark.parametrize(
+    "preset,model",
+    [
+        ("sn.pantheon_shoes", "lcdm"),
+        ("sn.des5y", "wzcdm"),
+        ("bao.desi_cmb_des5y", "w0wacdm"),
+        ("sn.des5y_bins", "lcdm"),
+    ],
+)
+def test_presets_build_with_synthetic_sys(preset, model):
+    """get_preset(..., synthetic_sys=True) builds every SN-bearing
+    preset against the dense synthetic covariance and evaluates finite."""
+    import jax.numpy as jnp
+
+    from cosmax.configs import get_preset
+
+    fit = get_preset(preset, model, synthetic_sys=True)
+    mid = 0.5 * (fit.spec.bounds[:, 0] + fit.spec.bounds[:, 1])
+    assert np.isfinite(float(fit.log_prob()(jnp.asarray(mid))))

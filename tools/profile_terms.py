@@ -21,7 +21,7 @@ def main(argv=None):
     ap.add_argument("--preset", default="bao.desi_cmb_des5y")
     ap.add_argument("--model", default="wzcdm")
     ap.add_argument("--walkers", type=int, default=131072)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--fast", action="store_true", default=True)
     ap.add_argument("--parity", dest="fast", action="store_false")
     args = ap.parse_args(argv)
