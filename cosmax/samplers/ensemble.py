@@ -241,15 +241,17 @@ class EnsembleSampler:
         self.n_walkers = n_walkers
         self.ndim = ndim
         self.moves = tuple(moves) if moves is not None else default_moves()
-        if n_walkers > 16384 and any(m.kind == "kde" for m in self.moves):
+        if n_walkers > 65536 and any(m.kind == "kde" for m in self.moves):
             # The KDE move's blocked density evaluation is O(W^2) per
-            # step and its in-scan program compiles very slowly at this
-            # scale; the posterior is move-independent, so swap the KDE
-            # weight onto the stretch move.
+            # step: measured on a v5e, 25 ms/KDE-step at 32768 walkers
+            # and 72 ms at 65536 (compiles in ~70 s) — fine; beyond that
+            # the quadratic runtime dominates whole chains, and the
+            # posterior is move-independent, so swap the KDE weight onto
+            # the stretch move.
             import warnings
 
             warnings.warn(
-                f"KDE move disabled for n_walkers={n_walkers} (> 16384): "
+                f"KDE move disabled for n_walkers={n_walkers} (> 65536): "
                 "its weight is reassigned to a stretch move",
                 stacklevel=2,
             )

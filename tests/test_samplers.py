@@ -128,17 +128,20 @@ def test_kde_only_gaussian_recovery():
     assert 0.1 < acc < 0.95
 
 
-def test_kde_fallback_above_16384_walkers():
-    """Above 16384 walkers the KDE move is swapped onto a stretch move
-    (its in-scan O(W^2) program compiles impractically slowly)."""
+def test_kde_fallback_above_65536_walkers():
+    """Above 65536 walkers the KDE move is swapped onto a stretch move
+    (its O(W^2) density evaluation dominates whole-chain runtime)."""
     with pytest.warns(UserWarning, match="KDE move disabled"):
-        s = EnsembleSampler(gauss_lp, 16386, 2, moves=default_moves())
+        s = EnsembleSampler(gauss_lp, 65538, 2, moves=default_moves())
     kinds = [m.kind for m in s.moves]
     assert "kde" not in kinds and "stretch" in kinds
     # mixture weights are preserved
     assert sum(m.weight for m in s.moves) == pytest.approx(1.0)
+    # at or below the threshold the KDE move is kept
+    s2 = EnsembleSampler(gauss_lp, 32768, 2, moves=default_moves())
+    assert "kde" in [m.kind for m in s2.moves]
     # and the swapped sampler still runs
-    init = jnp.zeros((16386, 2)) + jnp.asarray(MU)
+    init = jnp.zeros((65538, 2)) + jnp.asarray(MU)
     _, chain = s.run(jax.random.PRNGKey(0), init, 2)
     assert np.isfinite(np.asarray(chain.log_probs)).all()
 
