@@ -26,6 +26,14 @@ CASES = [
      {"h": (0.690, 0.005), "Om": (0.298, 0.009)}, 10.27),
     ("bao.desi", "wzcdm", {},
      {"h": (0.670, 0.016), "Om": (0.308, 0.012), "w0": (-0.832, 0.12)}, 8.44),
+    ("bao.desi", "wcdm", {},
+     {"h": (0.678, 0.012), "Om": (0.297, 0.009), "w0": (-0.915, 0.077)}, 9.12),
+    ("sn.union3", "wcdm", {},
+     {"dM": (-0.0579, 0.0868), "Om": (0.2523, 0.0976), "w0": (-0.7472, 0.168)},
+     None),
+    ("cc.cc", "wcdm", {},
+     {"H0": (67.4, 4.4), "Om": (0.315, 0.042), "w0": (-1.054, 0.229),
+      "f_cc": (0.71, 0.09)}, 29.29),
     ("bao.sdss", "lcdm", {},
      {"h": (0.688, 0.007), "Om": (0.294, 0.016)}, 11.81),
     ("sn.union3", "lcdm", {},
