@@ -28,6 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cosmax.ops.linalg import pdot
+
 
 class GPParams(NamedTuple):
     raw_outputscale: jnp.ndarray  # softplus-constrained, as gpytorch
@@ -92,7 +94,7 @@ class ExactGP:
         alpha = jax.scipy.linalg.cho_solve((chol, True), delta)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diag(chol)))
         return -0.5 * (
-            delta @ alpha + logdet + self.n * jnp.log(2.0 * jnp.pi)
+            pdot(delta, alpha) + logdet + self.n * jnp.log(2.0 * jnp.pi)
         )
 
     # -- prediction ---------------------------------------------------
@@ -104,7 +106,7 @@ class ExactGP:
     def predict_mean(self, p: GPParams, x_test):
         _, alpha = self._solve_terms(p)
         k_star = self.kernel(p, jnp.atleast_1d(x_test), self.x)
-        return p.mean_const + k_star @ alpha
+        return p.mean_const + pdot(k_star, alpha)
 
     def predict(self, p: GPParams, x_test, test_noise=1e-4):
         """(mean, cov) of the posterior predictive incl. ``test_noise``
@@ -112,10 +114,10 @@ class ExactGP:
         x_test = jnp.atleast_1d(x_test)
         chol, alpha = self._solve_terms(p)
         k_star = self.kernel(p, x_test, self.x)
-        mean = p.mean_const + k_star @ alpha
+        mean = p.mean_const + pdot(k_star, alpha)
         v = jax.scipy.linalg.solve_triangular(chol, k_star.T, lower=True)
         k_ss = self.kernel(p, x_test, x_test)
-        cov = k_ss - v.T @ v + test_noise * jnp.eye(x_test.shape[0])
+        cov = k_ss - pdot(v.T, v) + test_noise * jnp.eye(x_test.shape[0])
         return mean, cov
 
 
