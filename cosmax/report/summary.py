@@ -29,16 +29,48 @@ def derived_posteriors(fit, flat):
     names = fit.spec.names
     cols = {n: flat[:, i] for i, n in enumerate(names)}
     out = {}
+    comp = next(
+        (t.meta.get("compression") for t in fit.terms if t.meta.get("compression")),
+        None,
+    )
     if "H0" in cols or "h" in cols:
         h = cols["h"] if "h" in cols else cols["H0"] / 100.0
         if "Om" in cols:
             omh2 = cols["Om"] * h**2
             out["Omh2"] = _scalar_stats(omh2)
+            if comp is not None:
+                # z_eq = -1 + wm / (Or h^2), per-sample (cmb/cmb.py:101)
+                out["z_eq"] = _scalar_stats(-1.0 + omh2 / comp.omega_r_h2())
             if "Obh2" in cols:
                 wb = cols["Obh2"]
                 out["z_star"] = _scalar_stats(rec.z_star(wb, omh2))
                 out["z_drag"] = _scalar_stats(rec.z_drag(wb, omh2))
                 out["r_drag"] = _scalar_stats(rec.r_drag_aizpuru(wb, omh2))
+                if comp is not None:
+                    # r* / r_d from the sound-horizon integral at the
+                    # posterior median, as the reference prints them
+                    # (cmb/cmb.py:115-116)
+                    med = {n: float(np.median(c)) for n, c in cols.items()}
+                    p = fit.derive(dict(med))
+                    h0 = float(p["H0"]) if "H0" in p else 100.0 * float(p["h"])
+                    wb_m, wm_m = float(np.median(wb)), float(np.median(omh2))
+                    zs_fn = (
+                        rec.z_star_hu if comp.z_star_variant == "hu" else rec.z_star
+                    )
+                    for key, zz in (
+                        ("r_star_median", float(zs_fn(wb_m, wm_m))),
+                        ("r_d_median", float(rec.z_drag(wb_m, wm_m))),
+                    ):
+                        out[key] = {
+                            "median": float(
+                                rec.sound_horizon(
+                                    zz, p, fit.model, h0, wb_m,
+                                    o_gamma_h2=comp.o_gamma_h2,
+                                )
+                            ),
+                            "plus": 0.0,
+                            "minus": 0.0,
+                        }
     if "sigma8" in cols and "Om" in cols:
         s8 = cols["sigma8"] * np.sqrt(cols["Om"] / 0.3)
         out["S8"] = _scalar_stats(s8)
