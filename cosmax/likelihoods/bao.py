@@ -111,8 +111,11 @@ def build_bao_term(
         from cosmax.constants import C_KM_S
 
         z_unique, z_inverse = np.unique(z, return_inverse=True)
+        # 8-node panels: worst d(DM/rd) vs order-32 panels is 1.3e-14
+        # over the prior box (order 6 is already 1.3e-11); data sigma
+        # is ~0.1-0.5.
         prefix_integral = make_prefix_comoving_integral(
-            z_unique, model, order=max(8, grid[1] // 4)
+            z_unique, model, order=max(8, grid[1] // 8)
         )
 
         def dm_of(p):

@@ -204,8 +204,11 @@ def _build_compressed_sn(
 
     # shared-panel prefix quadrature over the sorted Chebyshev nodes:
     # K panels of gl_order/8 nodes instead of K independent big rules
+    # 6-node panels between consecutive Chebyshev z-nodes: worst dmu vs
+    # order-32 panels is 1e-15 mag over the CPL prior box (even order 4
+    # is 3e-14); SN sigma ~ 0.03-0.3 mag.
     prefix_integral = make_prefix_comoving_integral(
-        z_nodes, model, order=max(8, gl_order // 8)
+        z_nodes, model, order=max(6, gl_order // 16)
     )
 
     def coeffs(p):
