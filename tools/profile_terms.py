@@ -39,9 +39,11 @@ def main(argv=None):
     lo, hi = fit_full.spec.bounds[:, 0], fit_full.spec.bounds[:, 1]
     mid, span = 0.5 * (lo + hi), 0.05 * (hi - lo)
     w = args.walkers
-    walkers = jnp.asarray(
-        (mid + span * rng.standard_normal((w, fit_full.spec.dim))).astype(
-            np.float32
+    walkers = jax.device_put(
+        jnp.asarray(
+            (mid + span * rng.standard_normal((w, fit_full.spec.dim))).astype(
+                np.float32
+            )
         )
     )
 
