@@ -74,11 +74,7 @@ def main(argv=None):
         dt = min(dt, time.perf_counter() - t0)
 
     evals_per_sec = n_walkers * n_iters / dt
-    metric = (
-        "flagship_joint_logprob_evals_per_sec_chip"
-        if args.config == "flagship"
-        else f"{args.config}_joint_logprob_evals_per_sec_chip"
-    )
+    metric = f"{args.config}_joint_logprob_evals_per_sec_chip"
     print(
         json.dumps(
             {

@@ -65,6 +65,14 @@ class EnsembleSampler:
     def run_mcmc(self, initial_state, nsteps, progress=False, thin=1, **_):
         import jax
 
+        from cosmax.samplers.ensemble import ChainState
+
+        if isinstance(initial_state, ChainState):
+            # emcee's standard burn-in idiom: state = run_mcmc(p0, n);
+            # reset(); run_mcmc(state, n) — continue from the returned
+            # sampler state (walkers, log-probs AND the PRNG stream)
+            self._state = initial_state
+            self._chain = None
         key = jax.random.PRNGKey(self._seed)
         if self._state is None:
             self._state, self._chain = self._s.run(
@@ -75,12 +83,15 @@ class EnsembleSampler:
             self._state, chain = self._s.run_from_state(
                 self._state, nsteps, thin=thin
             )
-            import jax.tree_util as jtu
-            import jax.numpy as jnp
+            if self._chain is None:
+                self._chain = chain
+            else:
+                import jax.tree_util as jtu
+                import jax.numpy as jnp
 
-            self._chain = jtu.tree_map(
-                lambda a, b: jnp.concatenate([a, b]), self._chain, chain
-            )
+                self._chain = jtu.tree_map(
+                    lambda a, b: jnp.concatenate([a, b]), self._chain, chain
+                )
         return self._state
 
     def get_chain(self, discard=0, thin=1, flat=False):

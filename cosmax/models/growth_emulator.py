@@ -93,9 +93,14 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
     # multiprobe joint.
     flat = table.reshape(-1, z_data.size)
     u, s, vt = np.linalg.svd(flat, full_matrices=False)
-    energy = np.cumsum(s**2) / np.sum(s**2)
-    rank = int(np.searchsorted(energy, 1.0 - 1e-18) + 1)
-    rank = min(rank, s.size)
+    # smallest rank whose discarded tail has Frobenius norm <= 1e-9 of
+    # the total (an energy-cumsum threshold like 1 - 1e-18 underflows
+    # to exactly 1.0 in f64 and would make rank selection depend on
+    # rounding luck)
+    tail = np.sqrt(np.cumsum((s**2)[::-1])[::-1])  # tail[r] = ||s[r:]||_F
+    ok = tail <= 1e-9 * tail[0]
+    rank = int(np.argmax(ok)) if ok.any() else s.size
+    rank = max(rank, 1)
     a_fac = (u[:, :rank] * s[:rank]).reshape(*([n_nodes] * ndim_p), rank)
     b_fac = vt[:rank]
 

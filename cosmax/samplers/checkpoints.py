@@ -75,22 +75,19 @@ def run_with_checkpoints(
     done = start
     chains = []
     while done < n_steps:
-        # Fixed segment length: every distinct scan length is a separate
-        # XLA compile, so always run `every` steps and trim afterwards
-        # (a few extra MCMC steps are harmless and determinism is kept).
-        state, chain = sampler.run_from_state(state, every, thin=thin)
+        # Full segments share one compiled scan program (every distinct
+        # length is a separate XLA compile); the final segment runs the
+        # exact remainder — overshooting and trimming instead would save
+        # steps into the checkpoint that appear in NO returned chain,
+        # silently losing them across a resume boundary.
+        seg = min(every, n_steps - done)
+        state, chain = sampler.run_from_state(state, seg, thin=thin)
         save_state(path, state)
         chains.append(chain)
-        done += every
+        done += seg
     if not chains:
         return state, None, start
     import jax.tree_util as jtu
 
     merged = jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *chains)
-    # Absolute recorded-sample budget for the logical n_steps run, minus
-    # what was recorded before this resume (start is a multiple of thin
-    # except in the re-align branch, where chain0 already has the exact
-    # remainder).
-    keep = -(-n_steps // thin) - start // thin  # ceil
-    merged = jtu.tree_map(lambda x: x[:keep], merged)
     return state, merged, start

@@ -320,7 +320,7 @@ class EnsembleSampler:
             st, acc, mv = self.step(st)
             return st, (st.walkers, st.log_probs, acc, mv)
 
-        if thin == 1:
+        if thin == 1 or n_steps == 0:
             state, recs = jax.lax.scan(body, state, None, length=n_steps)
             return state, Chain(*recs)
 

@@ -53,11 +53,29 @@ def test_fresh_checkpointed_run_equals_straight_run(tmp_path):
         s, key, init, 40, str(tmp_path / "c.npz"), every=16
     )
     assert start == 0
-    # segments overshoot to 48 steps but the merged chain is trimmed to
-    # the requested 40 and matches the uninterrupted run sample-for-sample
+    # segments 16+16+8: the final segment runs the exact remainder, so
+    # the saved state is at step 40 and the merged chain matches the
+    # uninterrupted run sample-for-sample with nothing overshot
+    assert int(state.step) == 40
     np.testing.assert_array_equal(
         np.asarray(merged.samples), np.asarray(straight.samples)
     )
+
+
+def test_no_steps_lost_across_resume_with_remainder(tmp_path):
+    """Segments must never overshoot n_steps: steps executed past the
+    trim point would be saved into the checkpoint yet appear in no
+    returned chain, silently vanishing across a resume boundary."""
+    s = _sampler()
+    key = jax.random.PRNGKey(23)
+    init = jnp.zeros((32, 2))
+    path = str(tmp_path / "c.npz")
+    _, part1, _ = run_with_checkpoints(s, key, init, 40, path, every=16)
+    state, part2, start = run_with_checkpoints(s, key, init, 60, path, every=16)
+    assert start == 40 and int(state.step) == 60
+    _, straight = s.run(key, init, 60)
+    both = np.concatenate([np.asarray(part1.samples), np.asarray(part2.samples)])
+    np.testing.assert_array_equal(both, np.asarray(straight.samples))
 
 
 def test_resume_continues_where_crash_left_off(tmp_path):

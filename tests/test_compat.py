@@ -71,3 +71,20 @@ def test_reset():
     sampler.reset()
     with pytest.raises(RuntimeError):
         sampler.get_chain()
+
+
+def test_emcee_burn_in_idiom():
+    """emcee's canonical pattern: state = run_mcmc(p0, n); reset();
+    run_mcmc(state, n) continues from the returned state."""
+    sampler = EnsembleSampler(32, 2, lp, seed=7)
+    init = np.zeros((32, 2)) + MU
+    state = sampler.run_mcmc(init, 25)
+    sampler.reset()
+    sampler.run_mcmc(state, 15)
+    assert sampler.get_chain().shape == (15, 32, 2)
+    # identical to running 40 straight and keeping the last 15
+    fresh = EnsembleSampler(32, 2, lp, seed=7)
+    fresh.run_mcmc(init, 40)
+    np.testing.assert_array_equal(
+        sampler.get_chain(), fresh.get_chain(discard=25)
+    )

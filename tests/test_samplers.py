@@ -177,3 +177,14 @@ def test_x64_mode_is_float64_end_to_end(x64):
     assert chain.samples.dtype == jnp.float64
     assert state.walkers.dtype == jnp.float64
     assert chain.log_probs.dtype == jnp.float64
+
+
+def test_zero_steps_any_thin():
+    """n_steps=0 returns an empty chain for every thin (the thinned
+    path used to crash on Chain(*None))."""
+    s = EnsembleSampler(gauss_lp, 32, 2, moves=stretch_only())
+    for thin in (1, 2, 5):
+        state, chain = s.run(jax.random.PRNGKey(0), jnp.zeros((32, 2)), 0,
+                             thin=thin)
+        assert chain.samples.shape == (0, 32, 2)
+        assert int(state.step) == 0
