@@ -22,6 +22,10 @@ Differences from emcee (by design):
   mixture (KDE 0.30 / DE 0.56 / snooker 0.14).
 * ``run_mcmc(..., progress=True)`` is accepted and ignored — the chain
   is one device program; there is nothing to print per step.
+* ``run_mcmc(coords, n)`` after a previous run restarts from those
+  coords (as emcee does) but REPLACES the stored chain rather than
+  appending a discontinuous segment to it; pass ``None`` or the
+  returned state to continue a chain.
 """
 
 import numpy as np
@@ -61,6 +65,7 @@ class EnsembleSampler:
         self._seed = seed
         self._chain = None
         self._state = None
+        self._n_starts = 0
 
     def run_mcmc(self, initial_state, nsteps, progress=False, thin=1, **_):
         import jax
@@ -73,25 +78,36 @@ class EnsembleSampler:
             # sampler state (walkers, log-probs AND the PRNG stream)
             self._state = initial_state
             self._chain = None
-        key = jax.random.PRNGKey(self._seed)
-        if self._state is None:
+        elif initial_state is not None:
+            # explicit coords restart the chain from those positions,
+            # exactly as emcee does (a prior run's endpoint is NOT
+            # silently reused). Each fresh start folds a counter into
+            # the key so successive restarts never replay the random
+            # stream of an earlier (e.g. burn-in) phase.
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self._seed), self._n_starts
+            )
+            self._n_starts += 1
             self._state, self._chain = self._s.run(
                 key, np.asarray(initial_state), nsteps, thin=thin
             )
-        else:
-            # continuation semantics, like emcee's second run_mcmc call
-            self._state, chain = self._s.run_from_state(
-                self._state, nsteps, thin=thin
+            return self._state
+        if self._state is None:
+            raise ValueError(
+                "Cannot have initial_state=None if run_mcmc has never "
+                "been called (pass walker coords of shape [nwalkers, ndim])"
             )
-            if self._chain is None:
-                self._chain = chain
-            else:
-                import jax.tree_util as jtu
-                import jax.numpy as jnp
+        # continuation semantics, like emcee's second run_mcmc call
+        self._state, chain = self._s.run_from_state(self._state, nsteps, thin=thin)
+        if self._chain is None:
+            self._chain = chain
+        else:
+            import jax.tree_util as jtu
+            import jax.numpy as jnp
 
-                self._chain = jtu.tree_map(
-                    lambda a, b: jnp.concatenate([a, b]), self._chain, chain
-                )
+            self._chain = jtu.tree_map(
+                lambda a, b: jnp.concatenate([a, b]), self._chain, chain
+            )
         return self._state
 
     def get_chain(self, discard=0, thin=1, flat=False):

@@ -48,6 +48,14 @@ def main(argv=None):
         w0 = params["w0"]["median"]
         print(f"# using posterior medians from {path}: Om={om:.4f}, w0={w0:.4f}")
 
+    if w0 <= -1.0:
+        raise SystemExit(
+            f"w0 = {w0:.4f} <= -1: the quintessence reconstruction is "
+            "undefined for phantom dark energy — dphi/da ~ sqrt(rho (1+w)) "
+            "needs 1 + w(a) > 0 (field.py reconstructs the reference's "
+            "BAO+CC+DES5Y best fit w0 = -0.833). Pass a non-phantom w0."
+        )
+
     import numpy as np
     import matplotlib
 

@@ -93,6 +93,8 @@ def main(argv=None):
         p.error(f"--steps must be >= 1 (got {n_steps})")
     if args.thin < 1:
         p.error(f"--thin must be >= 1 (got {args.thin})")
+    if args.checkpoint_every < 1:
+        p.error(f"--checkpoint-every must be >= 1 (got {args.checkpoint_every})")
     seed = args.seed if args.seed is not None else (fit.seed or 0)
     moves = (
         stretch_only() if args.moves == "stretch"

@@ -43,7 +43,16 @@ def derived_posteriors(fit, flat):
                 out["z_eq"] = _scalar_stats(-1.0 + omh2 / comp.omega_r_h2())
             if "Obh2" in cols:
                 wb = cols["Obh2"]
-                out["z_star"] = _scalar_stats(rec.z_star(wb, omh2))
+                # z* follows the compression's variant; z_drag is ALWAYS
+                # the Aizpuru A2 formula — even the union3 compression,
+                # whose z* is Hu-Sugiyama, uses A2 for the drag epoch
+                # (data_union3_compression.py:88-103)
+                zs_fn = (
+                    rec.z_star_hu
+                    if comp is not None and comp.z_star_variant == "hu"
+                    else rec.z_star
+                )
+                out["z_star"] = _scalar_stats(zs_fn(wb, omh2))
                 out["z_drag"] = _scalar_stats(rec.z_drag(wb, omh2))
                 out["r_drag"] = _scalar_stats(rec.r_drag_aizpuru(wb, omh2))
                 if comp is not None:
@@ -54,9 +63,6 @@ def derived_posteriors(fit, flat):
                     p = fit.derive(dict(med))
                     h0 = float(p["H0"]) if "H0" in p else 100.0 * float(p["h"])
                     wb_m, wm_m = float(np.median(wb)), float(np.median(omh2))
-                    zs_fn = (
-                        rec.z_star_hu if comp.z_star_variant == "hu" else rec.z_star
-                    )
                     for key, zz in (
                         ("r_star_median", float(zs_fn(wb_m, wm_m))),
                         ("r_d_median", float(rec.z_drag(wb_m, wm_m))),

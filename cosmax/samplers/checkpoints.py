@@ -60,14 +60,22 @@ def run_with_checkpoints(
     per-segment thinning would otherwise restart its phase at each
     segment boundary).
     """
+    if every < 1:
+        raise ValueError(f"checkpoint interval must be >= 1 (got {every})")
     every = -(-every // thin) * thin
     if os.path.exists(path):
         state = load_state(path)
         start = int(state.step)
+        if start >= n_steps:
+            # already complete — also covers re-running a finished job
+            # whose final step is not a multiple of thin
+            return state, None, start
         if start % thin:
             raise ValueError(
-                f"checkpoint at step {start} is not a multiple of thin={thin}; "
-                "resume with the thin/checkpoint-every values of the original run"
+                f"cannot extend from a checkpoint at step {start} with "
+                f"thin={thin} ({start} % {thin} != 0): the recorded stride "
+                "would misalign. Finish runs on multiples of thin (pick "
+                "n_steps divisible by thin) if you plan to extend them."
             )
     else:
         state = sampler.init_state(key, initial)

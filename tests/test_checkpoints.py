@@ -120,3 +120,31 @@ def test_already_complete_checkpoint_returns_none(tmp_path):
     run_with_checkpoints(s, key, init, 32, path, every=16)
     state, chain, start = run_with_checkpoints(s, key, init, 32, path, every=16)
     assert chain is None and start == 32
+
+
+def test_rerun_completed_job_with_odd_thin(tmp_path):
+    """Re-running a finished job whose final step is not a multiple of
+    thin must report completion, not raise (restart workflow)."""
+    s = _sampler()
+    key = jax.random.PRNGKey(29)
+    init = jnp.zeros((32, 2))
+    path = str(tmp_path / "c.npz")
+    run_with_checkpoints(s, key, init, 10, path, every=6, thin=3)
+    state, chain, start = run_with_checkpoints(s, key, init, 10, path, every=6, thin=3)
+    assert chain is None and start == 10
+    # extending past a misaligned endpoint is refused with a clear error
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot extend"):
+        run_with_checkpoints(s, key, init, 20, path, every=6, thin=3)
+
+
+def test_invalid_every_rejected(tmp_path):
+    import pytest
+
+    s = _sampler()
+    with pytest.raises(ValueError, match=">= 1"):
+        run_with_checkpoints(
+            s, jax.random.PRNGKey(0), jnp.zeros((32, 2)), 10,
+            str(tmp_path / "c.npz"), every=0,
+        )

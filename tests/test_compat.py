@@ -88,3 +88,29 @@ def test_emcee_burn_in_idiom():
     np.testing.assert_array_equal(
         sampler.get_chain(), fresh.get_chain(discard=25)
     )
+
+
+def test_coords_restart_does_not_continue():
+    """emcee restarts from explicitly passed coords; the old endpoint
+    must not be silently reused, and the new run must not replay the
+    first run's random stream."""
+    s = EnsembleSampler(32, 2, lp, seed=11)
+    s.run_mcmc(np.zeros((32, 2)), 10)
+    first = s.get_chain().copy()
+    p1 = np.zeros((32, 2)) + MU
+    s.run_mcmc(p1, 10)
+    second = s.get_chain()
+    assert second.shape == (10, 32, 2)
+    # restarted, not continued: chain was replaced and differs from a
+    # continuation of the old state
+    assert not np.array_equal(first, second)
+    # different PRNG stream than the first start (keys are folded)
+    s2 = EnsembleSampler(32, 2, lp, seed=11)
+    s2.run_mcmc(p1, 10)
+    assert not np.array_equal(second, s2.get_chain())
+
+
+def test_none_before_any_run_raises():
+    s = EnsembleSampler(32, 2, lp, seed=13)
+    with pytest.raises(ValueError, match="initial_state=None"):
+        s.run_mcmc(None, 5)

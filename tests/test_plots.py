@@ -74,3 +74,12 @@ def test_field_cli_reads_summary(tmp_path):
     (tmp_path / "summary.json").write_text(json.dumps(summ))
     assert main(["--summary", str(tmp_path), "--out", str(tmp_path / "figs")]) == 0
     assert (tmp_path / "figs" / "field_phi_a.png").stat().st_size > 0
+
+
+def test_field_cli_rejects_phantom_w0(tmp_path):
+    from cosmax.field import main
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="phantom"):
+        main(["--w0", "-1.2", "--out", str(tmp_path)])
