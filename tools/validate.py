@@ -102,6 +102,85 @@ CASES = [
     ("fs8.fs8", "lcdm", {},
      {"Om": (0.268, 0.020), "sigma8": (0.789, 0.015), "f_err": (0.78, 0.07)},
      62.73, {"steps_mult": 4}),
+    # --- round-2 extensions: second three-probe joint + CC+CMB +
+    #     model-family variants of every validatable config -------------
+    # bao/desi_cmb_union3.py:251-367 (desi compression, seed 42). The
+    # published chi2 values ARE reproducible by the current reference
+    # code (unlike bao.desi_cmb): the current-code MAP equals the
+    # published medians to their rounding — chi2_min 39.3965 / 36.0703 /
+    # 28.8309 vs published 39.40 / 36.07 / 28.85 (scipy Nelder-Mead on
+    # the f64 likelihood, which matches the reference's own numpy
+    # pipeline bit-for-bit at those points).
+    ("bao.desi_cmb_union3", "lcdm", {},
+     {"rd": (148.6, 0.5), "H0": (67.8, 0.4), "Om": (0.308, 0.006),
+      "Obh2": (0.02228, 0.000125), "dM": (-0.147, 0.0875)}, 39.40),
+    ("bao.desi_cmb_union3", "wzcdm", {},
+     {"rd": (148.5, 0.5), "H0": (66.5, 0.8), "Om": (0.318, 0.008),
+      "Obh2": (0.02235, 0.00013), "w0": (-0.900, 0.0535),
+      "dM": (-0.178, 0.0885)}, 36.07),
+    ("bao.desi_cmb_union3", "w0wacdm", {},
+     {"rd": (147.9, 0.5), "H0": (65.9, 0.8), "Om": (0.328, 0.009),
+      "Obh2": (0.02221, 0.00014), "w0": (-0.703, 0.0895),
+      "wa": (-0.933, 0.307), "dM": (-0.180, 0.088)}, 28.85),
+    # cosmic_chronometers/cc_cmb.py:170-192 (LCDM only; published
+    # logL -130.56 matches cosmax's f64 log_prob at the medians)
+    ("cc.cc_cmb", "lcdm", {},
+     {"H0": (67.39, 0.595), "Om": (0.3168, 0.0082),
+      "Obh2": (0.02236, 0.00014), "f_cc": (0.69, 0.085)}, 31.31),
+    # bao/desi.py:241-275 SDSS compilation model variants. The published
+    # medians sit 0.13-0.19 sigma from the *exact* posterior medians of
+    # their own documented likelihood (which reproduces the published
+    # chi2 at the published medians to <= 0.05); the reproducible target
+    # is the brute-force grid-integrated median (220^3 f64 marginals
+    # over the reference prior box) — see the Attribution section.
+    ("bao.sdss", "wcdm", {},
+     {"h": (0.663, 0.0165), "Om": (0.283, 0.0205), "w0": (-0.793, 0.130)},
+     9.81,
+     {"alt": {"label": "exact grid median",
+              "target": {"h": 0.6645, "Om": 0.2831, "w0": -0.8147}}}),
+    ("bao.sdss", "wzcdm", {},
+     {"h": (0.659, 0.020), "Om": (0.305, 0.0175), "w0": (-0.737, 0.172)},
+     10.04,
+     {"alt": {"label": "exact grid median",
+              "target": {"h": 0.6621, "Om": 0.3028, "w0": -0.7729}}}),
+    # sn/union3.py:216-228 wzCDM (the published w0waCDM row used a wider
+    # wa prior than the registry's reference-standard (-3, 2) — its
+    # wa median -3.94 lies outside that box — so it is not comparable)
+    ("sn.union3", "wzcdm", {},
+     {"dM": (-0.0540, 0.0872), "Om": (0.2957, 0.053),
+      "w0": (-0.7510, 0.156)}, 21.7),
+    # cosmic_chronometers/cc.py:205-217 wzCDM
+    ("cc.cc", "wzcdm", {},
+     {"H0": (68.2, 5.5), "Om": (0.308, 0.050), "w0": (-1.137, 0.412),
+      "f_cc": (0.71, 0.09)}, 29.39),
+    # quasars/qsr_desi.py:246-267 wCDM / wzCDM
+    ("qsr.desi", "wcdm", {},
+     {"dM_qsr": (-0.159, 0.0955), "s": (0.406, 0.067),
+      "rd": (142.307, 2.46), "Om": (0.298, 0.009), "w0": (-0.911, 0.0785)},
+     28.89, {"steps_mult": 4}),
+    ("qsr.desi", "wzcdm", {},
+     {"dM_qsr": (-0.135, 0.0995), "s": (0.406, 0.068),
+      "rd": (140.537, 3.25), "Om": (0.310, 0.012), "w0": (-0.827, 0.1255)},
+     28.21, {"steps_mult": 4}),
+    # fs8/fs8.py:233-253 wCDM / wzCDM
+    ("fs8.fs8", "wcdm", {},
+     {"Om": (0.285, 0.0225), "sigma8": (0.860, 0.0635),
+      "w0": (-0.799, 0.1415), "f_err": (0.78, 0.065)}, 61.64,
+     {"steps_mult": 4}),
+    ("fs8.fs8", "wzcdm", {},
+     {"Om": (0.300, 0.0325), "sigma8": (0.830, 0.0385),
+      "w0": (-0.711, 0.2285), "f_err": (0.78, 0.065)}, 61.26,
+     {"steps_mult": 4}),
+    # cosmic_chronometers/cc.py:180-187 "Without f" (f fixed to 1)
+    ("cc.cc_plain", "lcdm", {},
+     {"H0": (66.8, 5.3), "Om": (0.321, 0.052)}, 14.87),
+    # bao/desi_union3.py:251-279 wCDM / wzCDM
+    ("bao.desi_union3", "wcdm", {},
+     {"dM": (-0.156, 0.0885), "H0": (67.12, 0.735), "Om": (0.298, 0.009),
+      "w0": (-0.866, 0.0505)}, 32.17),
+    ("bao.desi_union3", "wzcdm", {},
+     {"dM": (-0.163, 0.0895), "H0": (66.66, 0.81), "Om": (0.310, 0.0085),
+      "w0": (-0.803, 0.0655)}, 30.37),
 ]
 
 ATTRIBUTION = """\
@@ -127,6 +206,27 @@ current reference code and cannot be reproduced by it:
 cosmax's posterior median sits on the current-code MAP to <= 0.02
 sigma; the residual ~0.1 sigma against the *published* medians is
 reference-version drift, not a cosmax bias. The table reports both.
+
+**bao.sdss [wcdm / wzcdm]** — the published medians are offset from the
+*exact* posterior of their own documented likelihood. Evidence:
+
+* the SDSS-compilation dataset is confirmed: at the published medians
+  the f64 chi2 reproduces the published values across all three model
+  families (11.82/9.85/10.09 vs 11.81/9.81/10.04), while the
+  non-compilation variant is far off (10.89/7.95/8.24).
+* brute-force grid integration of the same likelihood (220^3 f64
+  marginals over the reference prior box h in [0.5,0.8], Om in
+  [0.1,0.7], w0 in [-2,0]) gives exact medians h=0.6645, Om=0.2831,
+  w0=-0.8147 (wCDM) and h=0.6621, Om=0.3028, w0=-0.7729 (wzCDM).
+  cosmax's chains sit on these to <= 0.08 sigma; the published rows are
+  0.13-0.21 sigma away from them.
+* sampling-budget noise does not explain the published offset: 10
+  independent reference-budget chains (150 walkers x 2200 steps, the
+  reference move mixture) scatter by only ~0.005 sigma in the median.
+
+The table therefore reports z against both targets; the "exact grid
+median" column is the reproducible one (LCDM, which is insensitive to
+the w0 degeneracy, agrees with the published row directly at 0.03).
 
 **fs8.fs8 / qsr.desi chi2@median drifts** — at the published medians the
 f64 chi2 is 62.697 (fs8, pub 62.73) and 29.955 = 10.306 bao + 19.649
