@@ -4,6 +4,13 @@ from cosmax.samplers.ensemble import (
     default_moves,
     stretch_only,
 )
+from cosmax.samplers.optimize import (
+    adam_minimize,
+    best_fit,
+    laplace,
+    laplace_fit,
+    minimize_chi2,
+)
 from cosmax.samplers.diagnostics import (
     autocorr_time,
     effective_samples,
@@ -16,6 +23,11 @@ __all__ = [
     "MoveSpec",
     "default_moves",
     "stretch_only",
+    "adam_minimize",
+    "best_fit",
+    "laplace",
+    "laplace_fit",
+    "minimize_chi2",
     "autocorr_time",
     "effective_samples",
     "gelman_rubin",

@@ -99,3 +99,37 @@ def best_fit(fit, x0=None, **kwargs):
         x0 = 0.5 * (fit.spec.bounds[:, 0] + fit.spec.bounds[:, 1])
     x, f, info = minimize_chi2(total, x0, bounds=fit.spec.bounds, **kwargs)
     return {name: float(v) for name, v in zip(fit.spec.names, x)}, f, info
+
+
+def laplace(log_prob_fn, x_map):
+    """Gaussian (Laplace/Fisher) approximation around a mode.
+
+    covariance = inverse Hessian of -log_prob at ``x_map`` (exact
+    ``jax.hessian``, no finite differences). Returns
+    ``(cov [D,D], sigma [D], corr [D,D])``. Seconds instead of an MCMC
+    run — the instant error forecast the reference has no analogue for
+    (it only reports chain percentiles, e.g. bao/desi.py:143-147).
+    """
+    x = jnp.asarray(np.asarray(x_map, dtype=np.float64))
+    h = np.asarray(jax.hessian(lambda t: -log_prob_fn(t))(x), dtype=np.float64)
+    if not np.all(np.isfinite(h)):
+        raise ValueError("Hessian not finite at x_map (mode on a bound?)")
+    cov = np.linalg.inv(h)
+    sig = np.sqrt(np.diag(cov))
+    corr = cov / np.outer(sig, sig)
+    return cov, sig, corr
+
+
+def laplace_fit(fit, x0=None, **kwargs):
+    """MAP + Laplace errors for a FitSpec: LM-Newton point fit, then the
+    inverse-Hessian covariance of the full log-posterior (including the
+    parameter-dependent normalisation terms of f_cc / quasar-scatter
+    likelihoods, which pure-chi^2 curvature would miss).
+
+    Returns ``(params {name: (map, sigma)}, chi2_min, corr [D,D])``.
+    """
+    best, chi2_min, _ = best_fit(fit, x0=x0, **kwargs)
+    x = np.asarray([best[n] for n in fit.spec.names], dtype=np.float64)
+    _, sig, corr = laplace(fit.log_prob(), x)
+    params = {n: (float(v), float(s)) for n, v, s in zip(fit.spec.names, x, sig)}
+    return params, chi2_min, corr

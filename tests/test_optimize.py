@@ -36,3 +36,36 @@ def test_best_fit_bao_lcdm(x64):
     assert params["h"] == pytest.approx(0.690, abs=0.002)
     assert params["Om"] == pytest.approx(0.298, abs=0.003)
     assert chi2 == pytest.approx(10.27, abs=0.01)
+
+
+def test_laplace_gaussian_exact():
+    """Inverse Hessian of an exact Gaussian log-density recovers its
+    covariance."""
+    from cosmax.samplers.optimize import laplace
+
+    cov_true = np.array([[2.0, 0.6], [0.6, 0.5]])
+    prec = jnp.asarray(np.linalg.inv(cov_true))
+    lp = lambda x: -0.5 * x @ prec @ x
+    cov, sig, corr = laplace(lp, np.zeros(2))
+    np.testing.assert_allclose(cov, cov_true, rtol=1e-6)
+    np.testing.assert_allclose(
+        corr[0, 1], cov_true[0, 1] / np.sqrt(cov_true[0, 0] * cov_true[1, 1]),
+        rtol=1e-6,
+    )
+
+
+def test_laplace_fit_bao_lcdm(x64):
+    """MAP + Laplace errors on DESI BAO LCDM: sigma agrees with the
+    published MCMC 1-sigma widths (bao/desi.py:202-215, a nearly
+    Gaussian 2-parameter posterior) and the (h, Om) anticorrelation of
+    the published correlation matrix is recovered."""
+    from cosmax.samplers.optimize import laplace_fit
+
+    fit = get_preset("bao.desi", "lcdm")
+    params, chi2, corr = laplace_fit(fit)
+    h_map, h_sig = params["h"]
+    om_map, om_sig = params["Om"]
+    assert h_map == pytest.approx(0.690, abs=0.002)
+    assert h_sig == pytest.approx(0.005, rel=0.25)
+    assert om_sig == pytest.approx(0.0085, rel=0.25)
+    assert corr[0, 1] < -0.2  # h and Om anticorrelate along the ridge
