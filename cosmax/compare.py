@@ -1,0 +1,138 @@
+"""Dark-energy model comparison: ``python -m cosmax.compare``.
+
+The reference compares models informally — every analysis docstring
+reports a "(Δ chi2 ...)" against its flat-ΛCDM block (e.g.
+bao/desi_cmb_union3.py:292,321,352) and cosmic_chronometers/cc.py runs
+one explicit log-likelihood-ratio test (cc.py:190-196). This driver
+makes that a first-class, deterministic operation: for each model
+family it runs the LM-Newton point fit and the Laplace approximation
+(cosmax.samplers.optimize) and prints
+
+    chi2_min, Δchi2 vs ΛCDM, k (sampled parameters), AIC, BIC,
+    and the Laplace log-evidence (uniform prior over the preset's
+    bounds box)
+
+in seconds, with no MCMC. Runs in f64 on CPU (it is a host-side
+analysis; the parameter spaces are <= 11-dim and the exactness of the
+quadratic model matters more than device throughput).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def laplace_log_evidence(fit, x_map):
+    """ln Z under the Laplace approximation with the preset's uniform
+    prior: ln Z = logL(map) - ln V + (D/2) ln 2pi + 0.5 ln det cov.
+
+    Exact for a Gaussian likelihood whose mass lies inside the bounds
+    box (tests/test_compare.py pins this analytically).
+    """
+    import numpy as np
+
+    from cosmax.samplers.optimize import laplace
+
+    cov, _, _ = laplace(fit.log_prob(), x_map)
+    d = fit.spec.dim
+    log_l_map = float(fit.log_prob()(x_map))
+    bounds = np.asarray(fit.spec.bounds, dtype=np.float64)
+    log_volume = float(np.sum(np.log(bounds[:, 1] - bounds[:, 0])))
+    sign, logdet = np.linalg.slogdet(cov)
+    if sign <= 0:
+        raise ValueError("Laplace covariance not positive definite")
+    return log_l_map - log_volume + 0.5 * d * np.log(2.0 * np.pi) + 0.5 * logdet
+
+
+def compare_models(preset: str, models, fast: bool = False, **preset_kwargs):
+    """Point-fit + Laplace comparison across model families.
+
+    Returns a list of per-model dicts (chi2_min, dchi2, k, aic, bic,
+    log_evidence, params).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cosmax.configs import get_preset
+    from cosmax.samplers.optimize import map_fit, laplace
+
+    rows = []
+    for model in models:
+        fit = get_preset(preset, model, fast=fast, **preset_kwargs)
+        # posterior mode, not raw-chi2 minimum: identical for pure-chi2
+        # fits, required for f_cc / scatter likelihoods whose chi^2
+        # alone is minimised on a nuisance bound
+        best, _, _ = map_fit(fit)
+        x = np.asarray([best[n] for n in fit.spec.names], dtype=np.float64)
+        _, sig, _ = laplace(fit.log_prob(), x)
+        chi2_min = float(sum(fit.chi2_breakdown()(jnp.asarray(x)).values()))
+        k = fit.spec.dim
+        n = fit.data_size
+        rows.append(
+            dict(
+                model=model,
+                chi2_min=chi2_min,
+                k=k,
+                n=n,
+                aic=chi2_min + 2.0 * k,
+                bic=chi2_min + k * float(np.log(n)) if n else None,
+                log_evidence=laplace_log_evidence(fit, x),
+                params={
+                    name: (float(v), float(s))
+                    for name, v, s in zip(fit.spec.names, x, sig)
+                },
+            )
+        )
+    base = next((r for r in rows if r["model"] == "lcdm"), rows[0])
+    for r in rows:
+        r["dchi2"] = r["chi2_min"] - base["chi2_min"]
+        r["dlog_evidence"] = r["log_evidence"] - base["log_evidence"]
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", required=True)
+    p.add_argument("--models", default="lcdm,wcdm,wzcdm,w0wacdm",
+                   help="comma-separated model families")
+    p.add_argument("--fast", action="store_true",
+                   help="use the fast-mode (GL/compressed) likelihoods")
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="also write the table as JSON")
+    args = p.parse_args(argv)
+
+    # host-side analysis: force CPU + f64 before jax initialises
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    rows = compare_models(
+        args.preset, [m.strip() for m in args.models.split(",") if m.strip()],
+        fast=args.fast,
+    )
+    hdr = (f"{'model':10s} {'chi2_min':>9s} {'dchi2':>7s} {'k':>2s} "
+           f"{'AIC':>9s} {'BIC':>9s} {'ln Z - ln Z_lcdm':>17s}")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in rows:
+        bic = f"{r['bic']:9.2f}" if r["bic"] is not None else "      n/a"
+        print(
+            f"{r['model']:10s} {r['chi2_min']:9.2f} {r['dchi2']:+7.2f} "
+            f"{r['k']:2d} {r['aic']:9.2f} {bic} {r['dlog_evidence']:+17.2f}"
+        )
+        best = "  ".join(
+            f"{n}={v:.4g}±{s:.2g}" for n, (v, s) in r["params"].items()
+        )
+        print(f"           {best}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"# wrote {args.json_out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,6 +7,7 @@ from cosmax.samplers.ensemble import (
 from cosmax.samplers.optimize import (
     adam_minimize,
     best_fit,
+    map_fit,
     laplace,
     laplace_fit,
     minimize_chi2,
@@ -25,6 +26,7 @@ __all__ = [
     "stretch_only",
     "adam_minimize",
     "best_fit",
+    "map_fit",
     "laplace",
     "laplace_fit",
     "minimize_chi2",

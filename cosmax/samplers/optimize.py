@@ -101,6 +101,24 @@ def best_fit(fit, x0=None, **kwargs):
     return {name: float(v) for name, v in zip(fit.spec.names, x)}, f, info
 
 
+def map_fit(fit, x0=None, **kwargs):
+    """Posterior-mode fit: LM-Newton on -2 log_prob (NOT the raw chi^2 —
+    for likelihoods with parameter-dependent normalisations, e.g. the
+    f_cc-rescaled CC term whose chi^2/f^2 alone is minimised by pushing
+    f to its bound, the mode of the posterior is the only well-defined
+    point estimate). Coincides with ``best_fit`` when no log_norm terms
+    are present. Returns ({name: value}, -2 logL at the mode, info)."""
+    lp = fit.log_prob()
+
+    def nll(theta):
+        return -2.0 * lp(theta)
+
+    if x0 is None:
+        x0 = 0.5 * (fit.spec.bounds[:, 0] + fit.spec.bounds[:, 1])
+    x, f, info = minimize_chi2(nll, x0, bounds=fit.spec.bounds, **kwargs)
+    return {name: float(v) for name, v in zip(fit.spec.names, x)}, f, info
+
+
 def laplace(log_prob_fn, x_map):
     """Gaussian (Laplace/Fisher) approximation around a mode.
 
@@ -121,15 +139,17 @@ def laplace(log_prob_fn, x_map):
 
 
 def laplace_fit(fit, x0=None, **kwargs):
-    """MAP + Laplace errors for a FitSpec: LM-Newton point fit, then the
-    inverse-Hessian covariance of the full log-posterior (including the
-    parameter-dependent normalisation terms of f_cc / quasar-scatter
-    likelihoods, which pure-chi^2 curvature would miss).
+    """MAP + Laplace errors for a FitSpec: posterior-mode LM fit
+    (``map_fit``, so parameter-dependent normalisation terms of f_cc /
+    quasar-scatter likelihoods are included), then the inverse-Hessian
+    covariance of the full log-posterior at the mode.
 
-    Returns ``(params {name: (map, sigma)}, chi2_min, corr [D,D])``.
+    Returns ``(params {name: (map, sigma)}, chi2_at_map, corr [D,D])``
+    where chi2_at_map is the total data chi^2 evaluated at the mode.
     """
-    best, chi2_min, _ = best_fit(fit, x0=x0, **kwargs)
+    best, _, _ = map_fit(fit, x0=x0, **kwargs)
     x = np.asarray([best[n] for n in fit.spec.names], dtype=np.float64)
     _, sig, corr = laplace(fit.log_prob(), x)
+    chi2_at_map = float(sum(fit.chi2_breakdown()(jnp.asarray(x)).values()))
     params = {n: (float(v), float(s)) for n, v, s in zip(fit.spec.names, x, sig)}
-    return params, chi2_min, corr
+    return params, chi2_at_map, corr

@@ -69,3 +69,22 @@ def test_laplace_fit_bao_lcdm(x64):
     assert h_sig == pytest.approx(0.005, rel=0.25)
     assert om_sig == pytest.approx(0.0085, rel=0.25)
     assert corr[0, 1] < -0.2  # h and Om anticorrelate along the ridge
+
+
+def test_laplace_fit_with_norm_terms(x64):
+    """laplace_fit must optimise the full posterior: the CC f_cc
+    rescaling has a -N ln f normalisation, so the raw chi^2 alone is
+    minimised on the f_cc bound (indefinite Hessian there). At the true
+    mode the Laplace sigmas track the published MCMC widths
+    (cosmic_chronometers/cc.py:171-178: H0 3.8, Om 0.036, f 0.09)."""
+    from cosmax.samplers.optimize import laplace_fit
+
+    fit = get_preset("cc.cc", "lcdm")
+    params, chi2_at_map, corr = laplace_fit(fit)
+    h0_map, h0_sig = params["H0"]
+    f_map, f_sig = params["f_cc"]
+    assert h0_map == pytest.approx(67.1, abs=1.0)
+    assert f_map == pytest.approx(0.67, abs=0.04)
+    assert h0_sig == pytest.approx(3.8, rel=0.2)
+    assert f_sig == pytest.approx(0.09, rel=0.2)
+    assert np.isfinite(chi2_at_map)
