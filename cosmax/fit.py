@@ -36,6 +36,16 @@ def main(argv=None):
     p.add_argument("--moves", default=None,
                    choices=[None, "reference", "stretch"],
                    help="override move mixture")
+    p.add_argument("--sampler", default="ensemble",
+                   choices=["ensemble", "hmc"],
+                   help="ensemble (reference-equivalent, gradient-free) "
+                        "or hmc (gradient-based, adaptive; needs no "
+                        "burn-in — warmup is separate and discarded)")
+    p.add_argument("--warmup", type=int, default=None,
+                   help="hmc only: adaptation steps (default: the "
+                        "preset's burn-in)")
+    p.add_argument("--max-leapfrog", type=int, default=32,
+                   help="hmc only: max leapfrog steps per trajectory")
     p.add_argument("--out", default=None, help="output directory")
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--checkpoint", default=None,
@@ -106,6 +116,44 @@ def main(argv=None):
 
     print(f"# {fit.name} [{fit.model}]  {fit.note}")
     print(f"# params: {', '.join(fit.spec.names)}")
+
+    if args.sampler == "hmc":
+        if args.checkpoint:
+            p.error("--checkpoint is ensemble-only")
+        from cosmax.samplers.hmc import HMCSampler
+
+        warmup = args.warmup if args.warmup is not None else burn_in
+        n_record = max(1, n_steps - burn_in)
+        print(f"# hmc: {n_walkers} chains x {n_record} samples "
+              f"(warmup {warmup}), seed {seed}, devices: {jax.devices()}")
+        sampler = HMCSampler(
+            fit.log_prob(), fit.spec.bounds, n_walkers,
+            max_leapfrog=args.max_leapfrog,
+        )
+        key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
+        initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
+        t0 = time.time()
+        state, chain = sampler.run(
+            key_run, n_record, n_warmup=warmup, initial=initial
+        )
+        np.asarray(chain.samples[-1, :1])
+        dt = time.time() - t0
+        n_div = int(np.asarray(chain.move_index).sum())
+        print(f"# sampled {n_record} post-warmup steps in {dt:.1f}s "
+              f"(step size {sampler.step_size:.4g}, "
+              f"divergent steps {n_div})")
+        discard = 0
+        summary = summarize(fit, chain, discard=0)
+        summary["walltime_sec"] = dt
+        summary["sampler"] = {
+            "kind": "hmc", "step_size": sampler.step_size,
+            "inv_mass": sampler.inv_mass.tolist(),
+            "divergent_steps": n_div,
+        }
+        print(format_summary(summary))
+        _write_outputs(args, fit, chain, summary, discard)
+        return 0
+
     print(f"# {n_walkers} walkers x {n_steps} steps (burn-in {burn_in}), "
           f"seed {seed}, devices: {jax.devices()}")
 
@@ -147,26 +195,36 @@ def main(argv=None):
     summary["evals_per_sec"] = evals / dt
     print(format_summary(summary))
 
-    if args.out:
-        os.makedirs(args.out, exist_ok=True)
-        with open(os.path.join(args.out, "summary.json"), "w") as f:
-            json.dump(summary, f, indent=2, default=float)
-        np.save(
-            os.path.join(args.out, "chain.npy"),
-            np.asarray(chain.samples)[discard:],
-        )
-        if not args.no_plots:
-            flat = np.asarray(chain.flat(discard=discard))
-            plots.corner(flat, labels=list(fit.spec.names)).savefig(
-                os.path.join(args.out, "corner.png"), dpi=120
-            )
-            plots.trace(
-                np.asarray(chain.samples), labels=list(fit.spec.names)
-            ).savefig(os.path.join(args.out, "trace.png"), dpi=100)
-            _prediction_plots(fit, summary, args.out)
-        print(f"# wrote {args.out}/summary.json, chain.npy"
-              + ("" if args.no_plots else ", corner.png, trace.png, predictions"))
+    _write_outputs(args, fit, chain, summary, discard)
     return 0
+
+
+def _write_outputs(args, fit, chain, summary, discard):
+    import json
+    import numpy as np
+
+    from cosmax.report import plots
+
+    if not args.out:
+        return
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    np.save(
+        os.path.join(args.out, "chain.npy"),
+        np.asarray(chain.samples)[discard:],
+    )
+    if not args.no_plots:
+        flat = np.asarray(chain.flat(discard=discard))
+        plots.corner(flat, labels=list(fit.spec.names)).savefig(
+            os.path.join(args.out, "corner.png"), dpi=120
+        )
+        plots.trace(
+            np.asarray(chain.samples), labels=list(fit.spec.names)
+        ).savefig(os.path.join(args.out, "trace.png"), dpi=100)
+        _prediction_plots(fit, summary, args.out)
+    print(f"# wrote {args.out}/summary.json, chain.npy"
+          + ("" if args.no_plots else ", corner.png, trace.png, predictions"))
 
 
 def _prediction_plots(fit, summary, out_dir):

@@ -4,6 +4,7 @@ from cosmax.samplers.ensemble import (
     default_moves,
     stretch_only,
 )
+from cosmax.samplers.hmc import HMCSampler
 from cosmax.samplers.optimize import (
     adam_minimize,
     best_fit,
@@ -21,6 +22,7 @@ from cosmax.samplers.diagnostics import (
 
 __all__ = [
     "EnsembleSampler",
+    "HMCSampler",
     "MoveSpec",
     "default_moves",
     "stretch_only",

@@ -1,0 +1,110 @@
+"""Gradient-based HMC sampler (cosmax.samplers.hmc).
+
+Calibration mirrors tests/test_exact_posterior.py: the bao.desi
+posterior's marginals are known exactly by grid integration, so the
+HMC chain is checked against mathematics, not against another sampler.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cosmax.samplers.hmc import BoxTransform, HMCSampler
+from cosmax.samplers.ensemble import uniform_init
+
+
+def test_box_transform_roundtrip_and_jacobian():
+    bounds = np.array([[0.5, 0.8], [-2.0, 0.0]])
+    tr = BoxTransform.from_bounds(bounds, jnp.float32)
+    x = jnp.array([0.63, -1.2])
+    y = tr.to_y(x)
+    assert np.allclose(np.asarray(tr.to_x(y)), np.asarray(x), atol=1e-6)
+    # analytic log-Jacobian vs autodiff determinant
+    jac = jax.jacobian(tr.to_x)(y)
+    _, logdet = np.linalg.slogdet(np.asarray(jac))
+    assert float(tr.log_jac(y)) == pytest.approx(logdet, abs=1e-5)
+
+
+def test_hmc_gaussian_recovery():
+    mean = jnp.array([0.3, -0.2, 1.0])
+    cov = np.array(
+        [[1.0, 0.6, 0.2], [0.6, 2.0, -0.3], [0.2, -0.3, 0.5]]
+    )
+    prec = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+
+    def lp(x):
+        d = x - mean
+        return -0.5 * d @ prec @ d
+
+    bounds = np.array([[-8.0, 8.0]] * 3)
+    s = HMCSampler(lp, bounds, n_chains=64, max_leapfrog=24)
+    _, ch = s.run(jax.random.PRNGKey(0), 1000, n_warmup=600)
+    flat = np.asarray(ch.flat())
+    assert 0.6 < float(ch.acceptance_fraction) < 0.95
+    assert int(np.asarray(ch.move_index).sum()) == 0  # no divergences
+    assert np.allclose(flat.mean(0), np.asarray(mean), atol=0.05)
+    assert np.allclose(flat.var(0), np.diag(cov), rtol=0.08)
+    r = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
+    assert r == pytest.approx(0.6 / np.sqrt(2.0), abs=0.05)
+    # the adapted diagonal mass tracks the marginal variances
+    assert np.allclose(
+        s.inv_mass / s.inv_mass[2], np.diag(cov) / cov[2, 2], rtol=0.35
+    )
+
+
+def test_hmc_matches_exact_grid_posterior(x64):
+    from tests.test_exact_posterior import _grid_marginals, _setup
+
+    spec, log_prob = _setup()
+    (h_lo, h_med, h_hi), (o_lo, o_med, o_hi) = _grid_marginals(log_prob, spec)
+    s = HMCSampler(log_prob, spec.bounds, n_chains=128, max_leapfrog=24)
+    _, chain = s.run(jax.random.PRNGKey(5), 800, n_warmup=500)
+    flat = np.asarray(chain.flat())
+
+    h_sig = 0.5 * (h_hi - h_lo)
+    o_sig = 0.5 * (o_hi - o_lo)
+    assert np.median(flat[:, 0]) == pytest.approx(h_med, abs=0.05 * h_sig)
+    assert np.median(flat[:, 1]) == pytest.approx(o_med, abs=0.05 * o_sig)
+    q = np.percentile(flat, [15.9, 84.1], axis=0)
+    assert 0.5 * (q[1, 0] - q[0, 0]) == pytest.approx(h_sig, rel=0.06)
+    assert 0.5 * (q[1, 1] - q[0, 1]) == pytest.approx(o_sig, rel=0.06)
+
+
+def test_hmc_bit_reproducible():
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    bounds = np.array([[-5.0, 5.0]] * 2)
+    init = uniform_init(jax.random.PRNGKey(1), bounds, 16)
+    s = HMCSampler(lp, bounds, n_chains=16, max_leapfrog=8)
+    _, c1 = s.run(jax.random.PRNGKey(7), 50, n_warmup=50, initial=init)
+    _, c2 = s.run(jax.random.PRNGKey(7), 50, n_warmup=50, initial=init)
+    assert np.array_equal(np.asarray(c1.samples), np.asarray(c2.samples))
+    _, c3 = s.run(jax.random.PRNGKey(8), 50, n_warmup=50, initial=init)
+    assert not np.array_equal(np.asarray(c1.samples), np.asarray(c3.samples))
+
+
+def test_hmc_efficiency_vs_ensemble(x64):
+    """HMC draws are near-independent (tau ~ 1) on the bao.desi
+    posterior — the reference's move mixture sits at tau ~ 4."""
+    from tests.test_exact_posterior import _setup
+
+    from cosmax.samplers.diagnostics import autocorr_time
+
+    spec, log_prob = _setup()
+    s = HMCSampler(log_prob, spec.bounds, n_chains=64, max_leapfrog=24)
+    _, chain = s.run(jax.random.PRNGKey(2), 400, n_warmup=400)
+    taus = autocorr_time(np.asarray(chain.samples))
+    assert np.all(np.asarray(taus) < 2.0)
+
+
+def test_hmc_rejects_bad_init():
+    def lp(x):
+        return jnp.where(jnp.all(jnp.abs(x) < 1), 0.0, -jnp.inf)
+
+    bounds = np.array([[-5.0, 5.0]] * 2)
+    s = HMCSampler(lp, bounds, n_chains=4)
+    bad = np.full((4, 2), 4.0)  # in bounds, zero likelihood
+    with pytest.raises(ValueError, match="non-finite"):
+        s.run(jax.random.PRNGKey(0), 10, n_warmup=10, initial=bad)
