@@ -36,6 +36,33 @@ def test_fit_writes_outputs(tmp_path, capsys):
     assert np.isfinite(chain).all()
 
 
+def test_fit_hmc_sampler(tmp_path, capsys):
+    out = tmp_path / "hmc"
+    rc = main([
+        "--preset", "bao.desi", "--model", "lcdm", "--sampler", "hmc",
+        "--steps", "80", "--walkers", "16", "--burn-in", "40",
+        "--seed", "0", "--no-plots", "--out", str(out),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "hmc:" in text and "step size" in text
+    with open(out / "summary.json") as f:
+        summ = json.load(f)
+    assert summ["sampler"]["kind"] == "hmc"
+    assert summ["sampler"]["divergent_steps"] == 0
+    assert len(summ["sampler"]["inv_mass"]) == 2
+    chain = np.load(out / "chain.npy")
+    # warmup is separate and discarded: steps - burn_in recorded draws
+    assert chain.shape == (40, 16, 2)
+    assert np.isfinite(chain).all()
+
+
+def test_fit_hmc_rejects_checkpoint(capsys):
+    with pytest.raises(SystemExit):
+        main(["--preset", "bao.desi", "--sampler", "hmc",
+              "--checkpoint", "/tmp/nope.npz"])
+
+
 def test_fit_checkpoint_resume(tmp_path, capsys):
     ck = str(tmp_path / "state.npz")
     args = ["--preset", "bao.desi", "--model", "lcdm", "--walkers", "16",
