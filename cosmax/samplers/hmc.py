@@ -267,9 +267,12 @@ class HMCSampler:
         logp, grad = self._value_and_grad(y)
         return HMCState(y, logp, grad, key, jnp.asarray(0))
 
-    @partial(jax.jit, static_argnames=("self", "n_samples", "n_warmup"))
-    def _run(self, state: HMCState, n_samples: int, n_warmup: int):
-        state, eps, inv_mass = self._warmup(state, n_warmup)
+    def _sample_scan(self, state: HMCState, n_samples: int, eps, inv_mass):
+        """Post-warmup recording phase. No cross-chain reductions here
+        (the divergence `any` is order-independent), so a chain-axis
+        sharding of the state partitions the program without changing
+        any chain's trajectory — sharded == unsharded bitwise
+        (tests/test_parallel.py)."""
 
         def body(st, _):
             k_len, _ = jax.random.split(jax.random.fold_in(st.key, 7))
@@ -285,7 +288,17 @@ class HMCSampler:
             samples=xs, log_probs=lps, accepted=accs,
             move_index=divs.astype(jnp.int32),  # 1 where any chain diverged
         )
+        return state, chain
+
+    @partial(jax.jit, static_argnames=("self", "n_samples", "n_warmup"))
+    def _run(self, state: HMCState, n_samples: int, n_warmup: int):
+        state, eps, inv_mass = self._warmup(state, n_warmup)
+        state, chain = self._sample_scan(state, n_samples, eps, inv_mass)
         return state, chain, eps, inv_mass
+
+    @partial(jax.jit, static_argnames=("self", "n_samples"))
+    def _run_fixed(self, state: HMCState, n_samples: int, eps, inv_mass):
+        return self._sample_scan(state, n_samples, eps, inv_mass)
 
     def run(
         self,
@@ -293,10 +306,18 @@ class HMCSampler:
         n_samples: int,
         n_warmup: int = 500,
         initial=None,
+        step_size: float = None,
+        inv_mass=None,
     ):
         """Warm up (adaptation, discarded) then record ``n_samples``
         post-warmup draws. ``initial`` is [C, D] in constrained space;
-        defaults to mid-box with 10%-of-width Gaussian jitter."""
+        defaults to mid-box with 10%-of-width Gaussian jitter.
+
+        With ``n_warmup=0`` the adaptation phase is skipped and
+        ``step_size`` / ``inv_mass`` (e.g. from a previous run's
+        adapted values) are used as-is. This fixed-parameter path has
+        no cross-chain reductions, so it is bitwise invariant under
+        chain-axis sharding — the multi-chip mode."""
         k_init, k_run = jax.random.split(key)
         if initial is None:
             mid = self.transform.lo + 0.5 * self.transform.width
@@ -307,7 +328,18 @@ class HMCSampler:
         state = self.init_state(k_run, initial)
         if not bool(np.all(np.isfinite(np.asarray(state.logp)))):
             raise ValueError("initial positions have non-finite log-prob")
-        state, chain, eps, inv_mass = self._run(state, n_samples, n_warmup)
+        if n_warmup == 0:
+            if step_size is None:
+                raise ValueError("n_warmup=0 requires step_size")
+            eps = jnp.asarray(step_size, dtype=self.dtype)
+            im = (
+                jnp.ones((self.ndim,), self.dtype)
+                if inv_mass is None
+                else jnp.asarray(inv_mass, dtype=self.dtype)
+            )
+            state, chain = self._run_fixed(state, n_samples, eps, im)
+        else:
+            state, chain, eps, im = self._run(state, n_samples, n_warmup)
         self.step_size = float(eps)
-        self.inv_mass = np.asarray(inv_mass)
+        self.inv_mass = np.asarray(im)
         return state, chain

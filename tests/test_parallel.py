@@ -156,3 +156,58 @@ def test_multislice_mesh_runs_and_matches():
     init = shard_walkers(mesh, jax.random.normal(jax.random.PRNGKey(5), (32, 2)))
     _, chain = s.run(jax.random.PRNGKey(4), init, 50)
     assert np.isfinite(np.asarray(chain.log_probs)).all()
+
+
+def test_sharded_hmc_fixed_params_equals_unsharded():
+    """HMC sampling phase has no cross-chain reductions: sharding the
+    chain axis must reproduce the unsharded chains bitwise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cosmax.samplers import HMCSampler
+
+    bounds = np.array([[-6.0, 6.0]] * 2)
+    init = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (32, 2), dtype=jnp.float32)
+    )
+    key = jax.random.PRNGKey(9)
+    s_plain = HMCSampler(lp, bounds, 32, max_leapfrog=8)
+    _, c_plain = s_plain.run(
+        key, 40, n_warmup=0, initial=init, step_size=0.3
+    )
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("w", None))
+    s_shard = HMCSampler(lp, bounds, 32, max_leapfrog=8)
+    _, c_shard = s_shard.run(
+        key, 40, n_warmup=0,
+        initial=jax.device_put(jnp.asarray(init), sharding),
+        step_size=0.3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_shard.samples), np.asarray(c_plain.samples)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_shard.accepted), np.asarray(c_plain.accepted)
+    )
+
+
+def test_sharded_hmc_full_run_recovers_gaussian():
+    """Adaptive warmup pools accept/variance statistics across chains
+    (reduction order changes under sharding -> not bitwise), but a
+    sharded full run must still recover the target."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cosmax.samplers import HMCSampler
+
+    bounds = np.array([[-6.0, 6.0]] * 2)
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("w", None))
+    init = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (64, 2), dtype=jnp.float32),
+        sharding,
+    )
+    s = HMCSampler(lp, bounds, 64, max_leapfrog=16)
+    _, chain = s.run(jax.random.PRNGKey(2), 500, n_warmup=400, initial=init)
+    flat = np.asarray(chain.flat())
+    cov = np.linalg.inv(ICOV)
+    np.testing.assert_allclose(flat.mean(0), [0.0, 0.0], atol=0.15)
+    np.testing.assert_allclose(flat.var(0), np.diag(cov), rtol=0.15)
