@@ -45,13 +45,27 @@ def laplace_log_evidence(fit, x_map):
     return log_l_map - log_volume + 0.5 * d * np.log(2.0 * np.pi) + 0.5 * logdet
 
 
-def compare_models(preset: str, models, fast: bool = False, **preset_kwargs):
+def compare_models(
+    preset: str,
+    models,
+    fast: bool = False,
+    sampled_evidence: bool = False,
+    seed: int = 0,
+    **preset_kwargs,
+):
     """Point-fit + Laplace comparison across model families.
 
     Returns a list of per-model dicts (chi2_min, dchi2, k, aic, bic,
-    log_evidence, params).
+    log_evidence, params). With ``sampled_evidence=True`` each row
+    additionally carries the exact stepping-stone ``log_evidence_ss``
+    and its MC ``log_evidence_ss_err`` (cosmax.samplers.evidence) —
+    the check that the Laplace approximation is trustworthy for the
+    posterior at hand. Stepping stone always runs on the fast-mode
+    likelihood (the parity trapezoid graphs make ``jax.grad`` compile
+    poorly; fast vs parity chi2 agree far below the MC error).
     """
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from cosmax.configs import get_preset
@@ -69,25 +83,42 @@ def compare_models(preset: str, models, fast: bool = False, **preset_kwargs):
         chi2_min = float(sum(fit.chi2_breakdown()(jnp.asarray(x)).values()))
         k = fit.spec.dim
         n = fit.data_size
-        rows.append(
-            dict(
-                model=model,
-                chi2_min=chi2_min,
-                k=k,
-                n=n,
-                aic=chi2_min + 2.0 * k,
-                bic=chi2_min + k * float(np.log(n)) if n else None,
-                log_evidence=laplace_log_evidence(fit, x),
-                params={
-                    name: (float(v), float(s))
-                    for name, v, s in zip(fit.spec.names, x, sig)
-                },
-            )
+        row = dict(
+            model=model,
+            chi2_min=chi2_min,
+            k=k,
+            n=n,
+            aic=chi2_min + 2.0 * k,
+            bic=chi2_min + k * float(np.log(n)) if n else None,
+            log_evidence=laplace_log_evidence(fit, x),
+            params={
+                name: (float(v), float(s))
+                for name, v, s in zip(fit.spec.names, x, sig)
+            },
         )
+        if sampled_evidence:
+            from cosmax.samplers.evidence import stepping_stone_log_evidence
+
+            ss_fit = (
+                fit if fast
+                else get_preset(preset, model, fast=True, **preset_kwargs)
+            )
+            res = stepping_stone_log_evidence(
+                ss_fit.log_prob(), ss_fit.spec.bounds,
+                key=jax.random.PRNGKey(seed),
+            )
+            row["log_evidence_ss"] = res.log_evidence
+            row["log_evidence_ss_err"] = res.error
+            row["ss_acceptance"] = res.acceptance
+        rows.append(row)
     base = next((r for r in rows if r["model"] == "lcdm"), rows[0])
     for r in rows:
         r["dchi2"] = r["chi2_min"] - base["chi2_min"]
         r["dlog_evidence"] = r["log_evidence"] - base["log_evidence"]
+        if sampled_evidence:
+            r["dlog_evidence_ss"] = (
+                r["log_evidence_ss"] - base["log_evidence_ss"]
+            )
     return rows
 
 
@@ -100,6 +131,11 @@ def main(argv=None):
                    help="use the fast-mode (GL/compressed) likelihoods")
     p.add_argument("--json", dest="json_out", default=None,
                    help="also write the table as JSON")
+    p.add_argument("--sampled-evidence", action="store_true",
+                   help="also compute the exact evidence by "
+                        "stepping-stone sampling (tempered-ladder HMC; "
+                        "~20s per model on CPU) next to the Laplace one")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     # host-side analysis: force CPU + f64 before jax initialises
@@ -111,17 +147,23 @@ def main(argv=None):
 
     rows = compare_models(
         args.preset, [m.strip() for m in args.models.split(",") if m.strip()],
-        fast=args.fast,
+        fast=args.fast, sampled_evidence=args.sampled_evidence,
+        seed=args.seed,
     )
+    ss_hdr = "  ss: ln Z - ln Z_lcdm" if args.sampled_evidence else ""
     hdr = (f"{'model':10s} {'chi2_min':>9s} {'dchi2':>7s} {'k':>2s} "
-           f"{'AIC':>9s} {'BIC':>9s} {'ln Z - ln Z_lcdm':>17s}")
+           f"{'AIC':>9s} {'BIC':>9s} {'ln Z - ln Z_lcdm':>17s}{ss_hdr}")
     print(hdr)
     print("-" * len(hdr))
     for r in rows:
         bic = f"{r['bic']:9.2f}" if r["bic"] is not None else "      n/a"
+        ss = (
+            f"  {r['dlog_evidence_ss']:+12.2f} ±{r['log_evidence_ss_err']:.2f}"
+            if args.sampled_evidence else ""
+        )
         print(
             f"{r['model']:10s} {r['chi2_min']:9.2f} {r['dchi2']:+7.2f} "
-            f"{r['k']:2d} {r['aic']:9.2f} {bic} {r['dlog_evidence']:+17.2f}"
+            f"{r['k']:2d} {r['aic']:9.2f} {bic} {r['dlog_evidence']:+17.2f}{ss}"
         )
         best = "  ".join(
             f"{n}={v:.4g}±{s:.2g}" for n, (v, s) in r["params"].items()

@@ -4,6 +4,10 @@ from cosmax.samplers.ensemble import (
     default_moves,
     stretch_only,
 )
+from cosmax.samplers.evidence import (
+    SteppingStone,
+    stepping_stone_log_evidence,
+)
 from cosmax.samplers.hmc import HMCSampler
 from cosmax.samplers.optimize import (
     adam_minimize,
