@@ -41,13 +41,9 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    # persistent compile cache: the remote TPU compile service is
-    # sometimes busy (a cached 30 s compile can take >10 min); repeat
-    # bench runs should reuse the executable
-    cache = os.path.expanduser("~/.cache/cosmax_jax_cache")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from cosmax.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from cosmax.configs import get_preset
 

@@ -144,6 +144,9 @@ def main(argv=None):
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    from cosmax.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     rows = compare_models(
         args.preset, [m.strip() for m in args.models.split(",") if m.strip()],

@@ -88,6 +88,10 @@ def main(argv=None):
     import numpy as np
     import jax
 
+    from cosmax.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from cosmax.samplers import EnsembleSampler
     from cosmax.samplers.ensemble import uniform_init, stretch_only, default_moves
     from cosmax.report import summarize, format_summary, plots

@@ -17,6 +17,10 @@ def main(argv=None):
     p.add_argument("--grid", type=int, default=100)
     args = p.parse_args(argv)
 
+    from cosmax.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import numpy as np
     import matplotlib
 
