@@ -26,6 +26,9 @@ CONFIGS = {
     # 524k gave 55/66/83/61 M evals/s best-of-3)
     "flagship": ("bao.desi_cmb_des5y", 262144),
     "multiprobe": ("joint.multiprobe", 131072),
+    # gradient-based sampler: near-independent draws/sec on the
+    # flagship posterior (tau ~ 1, so effective samples ~ raw draws)
+    "hmc": ("bao.desi_cmb_des5y", 8192),
 }
 
 
@@ -48,6 +51,8 @@ def main(argv=None):
     from cosmax.configs import get_preset
 
     fit = get_preset(preset_name, model="wzcdm", fast=True)
+    if args.config == "hmc":
+        return _bench_hmc(fit, n_walkers)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
     rng = np.random.default_rng(0)
@@ -88,6 +93,53 @@ def main(argv=None):
                 "value": round(evals_per_sec, 1),
                 "unit": "evals/s",
                 "vs_baseline": round(evals_per_sec / 1.0e6, 3),
+            }
+        )
+    )
+
+
+def _bench_hmc(fit, n_chains):
+    """Effective (near-independent) posterior draws/sec with the
+    gradient-based sampler on the flagship joint. Adaptation runs
+    once; the timed segment is the steady-state fixed-parameter path."""
+    import jax
+
+    from cosmax.samplers import HMCSampler
+    from cosmax.samplers.diagnostics import autocorr_time
+
+    n_samples = 128
+    s = HMCSampler(fit.log_prob(), fit.spec.bounds, n_chains, max_leapfrog=16)
+    # adapt + compile both programs, then time the fixed path FROM the
+    # warmed-up ensemble (a fresh init with n_warmup=0 would have to
+    # burn in at the converged-posterior step size — it can't)
+    state, chain = s.run(jax.random.PRNGKey(0), 8, n_warmup=300)
+    eps, im = s.step_size, s.inv_mass
+    start = s.transform.to_x(state.y)
+    _, chain = s.run(
+        jax.random.PRNGKey(1), n_samples, n_warmup=0,
+        initial=start, step_size=eps, inv_mass=im,
+    )
+    np.asarray(chain.samples[-1, :1])
+    dt = float("inf")
+    for k in range(3):
+        t0 = time.perf_counter()
+        _, chain = s.run(
+            jax.random.PRNGKey(2 + k), n_samples, n_warmup=0,
+            initial=start, step_size=eps, inv_mass=im,
+        )
+        np.asarray(chain.samples[-1, :1])
+        dt = min(dt, time.perf_counter() - t0)
+    tau = float(np.max(np.asarray(autocorr_time(np.asarray(chain.samples)))))
+    ess_per_sec = n_chains * n_samples / max(tau, 1.0) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "hmc_effective_samples_per_sec_chip",
+                "value": round(ess_per_sec, 1),
+                "unit": "eff samples/s",
+                "vs_baseline": round(ess_per_sec / 1.0e6, 3),
+                "tau": round(tau, 2),
+                "accept": round(float(chain.acceptance_fraction), 3),
             }
         )
     )

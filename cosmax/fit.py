@@ -153,6 +153,7 @@ def main(argv=None):
             "kind": "hmc", "step_size": sampler.step_size,
             "inv_mass": sampler.inv_mass.tolist(),
             "divergent_steps": n_div,
+            "rejuvenated_chains": sampler.n_rejuvenated,
         }
         print(format_summary(summary))
         _write_outputs(args, fit, chain, summary, discard)

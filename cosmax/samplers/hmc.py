@@ -20,10 +20,17 @@ Design, TPU-first:
 * **Cross-chain pooled warmup** — dual-averaging step-size adaptation
   (Hoffman & Gelman 2014, Nesterov dual averaging; target accept 0.8)
   driven by the *mean* accept statistic over all chains, and a pooled
-  Welford estimate of the posterior variance for the diagonal mass
-  matrix: with hundreds of lockstep chains the adaptation sees
-  hundreds of accept statistics per step, converging far faster than
-  any single-chain warmup.
+  Welford estimate of the posterior covariance for the mass matrix
+  (dense by default — the joint posteriors' rd-H0-style degeneracies
+  cost a diagonal metric ~15x in autocorrelation time; diagonal via
+  ``dense_mass=False``): with hundreds of lockstep chains the
+  adaptation sees hundreds of accept statistics per step, converging
+  far faster than any single-chain warmup. Mass updates repeat over
+  Stan-style expanding windows, the estimate trims the lowest-quartile
+  chains, and chains still stuck below the bulk at the end of warmup
+  are rejuvenated from healthy ones — each of these guards was
+  motivated by a measured flagship-warmup failure mode (see the
+  inline comments).
 * **Jittered trajectories** — each step draws one shared trajectory
   length uniformly in ``[1, max_leapfrog]`` (independent of state, so
   detailed balance is untouched) which both decorrelates the chain
@@ -114,15 +121,32 @@ def _da_update(a: AdaptState, accept_mean, target):
     return a._replace(log_eps=log_eps, log_eps_bar=log_eps_bar, h_bar=h_bar, t=t)
 
 
-def _welford_update(a: AdaptState, y):
-    # batch update with all chains at once
-    c = y.shape[0]
+def _welford_update(a: AdaptState, y, dense: bool, logp=None):
+    # batch update with all chains at once; m2 is [D] (variances) or
+    # [D, D] (scatter matrix) depending on the mass-matrix mode.
+    # When logp is given, the lowest-quartile chains are excluded:
+    # straggler chains still far from the mode otherwise inflate the
+    # pooled covariance by up to ~10x in one direction, and a mass
+    # matrix that wrong makes the whitened dynamics explode (measured
+    # bistable flagship warmups: tau 1 vs 19 depending on the seed).
+    if logp is None:
+        w = jnp.ones(y.shape[:1], dtype=y.dtype)
+    else:
+        cut = jnp.quantile(logp, 0.25)
+        w = (logp >= cut).astype(y.dtype)
+    c = jnp.maximum(jnp.sum(w), 1.0)
     n = a.w_n + c
-    batch_mean = jnp.mean(y, axis=0)
+    batch_mean = jnp.sum(w[:, None] * y, axis=0) / c
     delta = batch_mean - a.w_mean
     mean = a.w_mean + delta * (c / n)
-    batch_m2 = jnp.sum((y - batch_mean) ** 2, axis=0)
-    m2 = a.w_m2 + batch_m2 + delta**2 * (a.w_n * c / n)
+    r = (y - batch_mean) * w[:, None]
+    if dense:
+        batch_m2 = r.T @ r
+        cross = jnp.outer(delta, delta)
+    else:
+        batch_m2 = jnp.sum(r**2, axis=0)
+        cross = delta**2
+    m2 = a.w_m2 + batch_m2 + cross * (a.w_n * c / n)
     return a._replace(w_mean=mean, w_m2=m2, w_n=n)
 
 
@@ -144,11 +168,16 @@ class HMCSampler:
         n_chains: int,
         max_leapfrog: int = 32,
         target_accept: float = 0.8,
+        dense_mass: bool = True,
         dtype=None,
     ):
         from cosmax.utils.dtypes import canonical_dtype
 
         self.dtype = canonical_dtype(dtype)
+        # dense_mass (default): adapt the full [D, D] momentum
+        # covariance — removes the rd-H0-style degeneracies of the
+        # joint posteriors (flagship tau 16 -> ~1.2); cheap at D <= 11.
+        self.dense_mass = bool(dense_mass)
         self.n_chains = int(n_chains)
         self.ndim = int(np.asarray(bounds).shape[0])
         self.max_leapfrog = int(max_leapfrog)
@@ -161,18 +190,50 @@ class HMCSampler:
 
         self._value_and_grad = jax.vmap(jax.value_and_grad(logp_y))
 
+    # -- mass-matrix mode helpers ---------------------------------------
+    # inv_mass is the estimated posterior covariance in y-space: [D]
+    # marginal variances (diag mode) or the full [D, D] matrix (dense).
+    def _mass_eye(self):
+        d = self.ndim
+        return (
+            jnp.eye(d, dtype=self.dtype)
+            if self.dense_mass
+            else jnp.ones((d,), self.dtype)
+        )
+
+    def _momentum(self, z, inv_mass):
+        """p ~ N(0, M) with M = inv_mass^{-1}."""
+        if not self.dense_mass:
+            return z / jnp.sqrt(inv_mass)
+        chol = jnp.linalg.cholesky(inv_mass)
+        # Sigma = L L^T  =>  p = L^{-T} z
+        return jax.scipy.linalg.solve_triangular(
+            chol.T, z.T, lower=False
+        ).T
+
+    def _velocity(self, p, inv_mass):
+        """dy/dt = M^{-1} p = Sigma p."""
+        if not self.dense_mass:
+            return inv_mass * p
+        return p @ inv_mass  # symmetric
+
+    def _kinetic(self, p, inv_mass):
+        if not self.dense_mass:
+            return 0.5 * jnp.sum(inv_mass * p**2, axis=-1)
+        return 0.5 * jnp.sum(p * (p @ inv_mass), axis=-1)
+
     # -- one MH-corrected trajectory ------------------------------------
     def _step(self, state: HMCState, eps, inv_mass, n_leap):
         key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
         c, d = state.y.shape
-        # momentum ~ N(0, M) with M^{-1} = inv_mass (posterior variance)
+        # momentum ~ N(0, M) with M^{-1} = inv_mass (posterior covariance)
         z = jax.random.normal(k_mom, (c, d), dtype=self.dtype)
-        p0 = z / jnp.sqrt(inv_mass)
+        p0 = self._momentum(z, inv_mass)
 
         def leapfrog_body(_, carry):
             y, p, g = carry
             p = p + 0.5 * eps * g
-            y = y + eps * inv_mass * p
+            y = y + eps * self._velocity(p, inv_mass)
             _, g = self._value_and_grad(y)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             p = p + 0.5 * eps * g
@@ -183,8 +244,8 @@ class HMCSampler:
         )
         logp1, _ = self._value_and_grad(y1)
 
-        kin0 = 0.5 * jnp.sum(inv_mass * p0**2, axis=-1)
-        kin1 = 0.5 * jnp.sum(inv_mass * p1**2, axis=-1)
+        kin0 = self._kinetic(p0, inv_mass)
+        kin1 = self._kinetic(p1, inv_mass)
         h0 = -state.logp + kin0
         h1 = -logp1 + kin1
         log_ratio = h0 - h1
@@ -206,10 +267,23 @@ class HMCSampler:
     # -- warmup ----------------------------------------------------------
     def _warmup(self, state: HMCState, n_warmup: int):
         d = self.ndim
-        # windows: [0, w1) eps only; [w1, w2) eps + Welford;
-        # at w2 set mass + restart dual averaging; [w2, end) eps only
+        # Stan-style expanding windows: an eps-only initial buffer,
+        # then REPEATED mass updates (30% / 50% / 75%) with Welford
+        # collection between them, then an eps-only terminal buffer.
+        # A single late mass estimate is bistable on the joint
+        # posteriors: chains that have not yet converged when the one
+        # window closes hand the sampler a covariance inflated by the
+        # init spread, the whitened dynamics explode, and dual
+        # averaging crushes eps ~30x below optimal (measured flagship
+        # tau 19 vs 1). Each rough whitening accelerates convergence
+        # before the next, more accurate estimate.
         w1 = max(1, int(0.15 * n_warmup))
-        w2 = max(w1 + 1, int(0.75 * n_warmup))
+        mass_bnds = sorted(
+            {
+                max(w1 + 1, int(f * n_warmup))
+                for f in (0.30, 0.50, 0.75)
+            }
+        )
         eps0 = jnp.asarray(0.1, dtype=self.dtype)
         adapt = AdaptState(
             log_eps=jnp.log(eps0),
@@ -218,9 +292,9 @@ class HMCSampler:
             mu=jnp.log(10.0 * eps0),
             t=jnp.zeros((), self.dtype),
             w_mean=jnp.zeros((d,), self.dtype),
-            w_m2=jnp.zeros((d,), self.dtype),
+            w_m2=jnp.zeros_like(self._mass_eye()) ,
             w_n=jnp.zeros((), self.dtype),
-            inv_mass=jnp.ones((d,), self.dtype),
+            inv_mass=self._mass_eye(),
         )
 
         def body(carry, i):
@@ -232,34 +306,78 @@ class HMCSampler:
             )
             ad = _da_update(ad, jnp.mean(accept_prob), self.target_accept)
             ad = jax.lax.cond(
-                (i >= w1) & (i < w2),
-                lambda a: _welford_update(a, st.y),
+                (i >= w1) & (i < mass_bnds[-1]),
+                lambda a: _welford_update(a, st.y, self.dense_mass, st.logp),
                 lambda a: a,
                 ad,
             )
 
             def set_mass(a: AdaptState):
                 var = a.w_m2 / jnp.maximum(a.w_n - 1.0, 1.0)
-                var = jnp.where(var > 1e-10, var, 1.0)
-                # restart dual averaging around the current step size
+                if self.dense_mass:
+                    # shrink toward the diagonal for conditioning
+                    dvar = jnp.clip(jnp.diag(var), 1e-10, None)
+                    var = var + 1e-4 * jnp.diag(dvar)
+                else:
+                    var = jnp.where(var > 1e-10, var, 1.0)
+                # restart dual averaging at a scale-free step size: the
+                # new mass whitens the dynamics, so the stable eps is
+                # O(1) regardless of what the unwhitened phase needed —
+                # carrying the old (often 10-100x smaller) eps over
+                # leaves too little warmup to climb back (measured:
+                # bistable tau 1 vs 19 on the flagship joint)
+                log_eps0 = jnp.asarray(np.log(0.5), self.dtype)
                 return a._replace(
                     inv_mass=var,
-                    mu=jnp.log(10.0) + a.log_eps,
+                    log_eps=log_eps0,
+                    mu=jnp.log(10.0) + log_eps0,
                     h_bar=jnp.zeros((), self.dtype),
                     t=jnp.zeros((), self.dtype),
-                    log_eps_bar=a.log_eps,
+                    log_eps_bar=log_eps0,
                     w_mean=jnp.zeros((d,), self.dtype),
-                    w_m2=jnp.zeros((d,), self.dtype),
+                    w_m2=jnp.zeros_like(a.w_m2),
                     w_n=jnp.zeros((), self.dtype),
                 )
 
-            ad = jax.lax.cond(i == w2, set_mass, lambda a: a, ad)
+            hit = jnp.any(jnp.stack([i == b for b in mass_bnds]))
+            ad = jax.lax.cond(hit, set_mass, lambda a: a, ad)
             return (st, ad), None
 
         (state, adapt), _ = jax.lax.scan(
             body, (state, adapt), jnp.arange(n_warmup)
         )
-        return state, jnp.exp(adapt.log_eps_bar), adapt.inv_mass
+        state, n_rejuvenated = self._rejuvenate(state)
+        return state, jnp.exp(adapt.log_eps_bar), adapt.inv_mass, n_rejuvenated
+
+    def _rejuvenate(self, state: HMCState):
+        """Replace chains stuck far below the bulk with copies of
+        healthy chains. A handful of inits land where the step size
+        tuned for the typical set can never accept (zero-accept chains
+        ~100 nats below the median); they would sit at their initial
+        position for the whole run and bias every marginal. Warmup
+        draws are discarded, so resampling their positions from the
+        healthy bulk only changes the (forgotten) starting
+        distribution."""
+        key, k_donor = jax.random.split(state.key)
+        lp = state.logp
+        q25 = jnp.quantile(lp, 0.25)
+        q75 = jnp.quantile(lp, 0.75)
+        bad = lp < q25 - 3.0 * (q75 - q25)
+        healthy = (~bad).astype(lp.dtype)
+        donors = jax.random.categorical(
+            k_donor,
+            jnp.log(healthy / jnp.maximum(healthy.sum(), 1.0)),
+            shape=lp.shape,
+        )
+        sel = bad[:, None]
+        state = HMCState(
+            y=jnp.where(sel, state.y[donors], state.y),
+            logp=jnp.where(bad, lp[donors], lp),
+            grad=jnp.where(sel, state.grad[donors], state.grad),
+            key=key,
+            step=state.step,
+        )
+        return state, jnp.sum(bad)
 
     # -- full run --------------------------------------------------------
     def init_state(self, key, initial_x) -> HMCState:
@@ -292,9 +410,9 @@ class HMCSampler:
 
     @partial(jax.jit, static_argnames=("self", "n_samples", "n_warmup"))
     def _run(self, state: HMCState, n_samples: int, n_warmup: int):
-        state, eps, inv_mass = self._warmup(state, n_warmup)
+        state, eps, inv_mass, n_rejuv = self._warmup(state, n_warmup)
         state, chain = self._sample_scan(state, n_samples, eps, inv_mass)
-        return state, chain, eps, inv_mass
+        return state, chain, eps, inv_mass, n_rejuv
 
     @partial(jax.jit, static_argnames=("self", "n_samples"))
     def _run_fixed(self, state: HMCState, n_samples: int, eps, inv_mass):
@@ -333,13 +451,17 @@ class HMCSampler:
                 raise ValueError("n_warmup=0 requires step_size")
             eps = jnp.asarray(step_size, dtype=self.dtype)
             im = (
-                jnp.ones((self.ndim,), self.dtype)
+                self._mass_eye()
                 if inv_mass is None
                 else jnp.asarray(inv_mass, dtype=self.dtype)
             )
             state, chain = self._run_fixed(state, n_samples, eps, im)
+            self.n_rejuvenated = 0
         else:
-            state, chain, eps, im = self._run(state, n_samples, n_warmup)
+            state, chain, eps, im, n_rejuv = self._run(
+                state, n_samples, n_warmup
+            )
+            self.n_rejuvenated = int(n_rejuv)
         self.step_size = float(eps)
         self.inv_mass = np.asarray(im)
         return state, chain

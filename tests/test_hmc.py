@@ -47,9 +47,10 @@ def test_hmc_gaussian_recovery():
     assert np.allclose(flat.var(0), np.diag(cov), rtol=0.08)
     r = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
     assert r == pytest.approx(0.6 / np.sqrt(2.0), abs=0.05)
-    # the adapted diagonal mass tracks the marginal variances
+    # the adapted dense mass tracks the full posterior covariance
+    assert s.inv_mass.shape == (3, 3)
     assert np.allclose(
-        s.inv_mass / s.inv_mass[2], np.diag(cov) / cov[2, 2], rtol=0.35
+        s.inv_mass / s.inv_mass[2, 2], cov / cov[2, 2], atol=0.25
     )
 
 
@@ -108,3 +109,30 @@ def test_hmc_rejects_bad_init():
     bad = np.full((4, 2), 4.0)  # in bounds, zero likelihood
     with pytest.raises(ValueError, match="non-finite"):
         s.run(jax.random.PRNGKey(0), 10, n_warmup=10, initial=bad)
+
+
+def test_hmc_rejuvenates_stuck_chains():
+    """Chains far below the bulk's log-prob at the end of warmup are
+    resampled from healthy chains (unit test of the rejuvenation step:
+    real stuck chains need a pathological basin the toy targets
+    self-heal out of)."""
+    from cosmax.samplers.hmc import HMCState
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s = HMCSampler(lp, np.array([[-5.0, 5.0]] * 2), 32)
+    y = jnp.asarray(
+        np.concatenate([np.zeros((29, 2)), np.full((3, 2), 3.0)])
+    )
+    state = s.init_state(jax.random.PRNGKey(0), y)
+    # push the 3 outliers far below the bulk
+    logp = state.logp.at[-3:].add(-500.0)
+    state = HMCState(state.y, logp, state.grad, state.key, state.step)
+    new, n = s._rejuvenate(state)
+    assert int(n) == 3
+    # outliers replaced by healthy positions (all healthy are at 0)
+    assert np.allclose(np.asarray(new.y[-3:]), 0.0)
+    assert np.allclose(np.asarray(new.logp[-3:]), np.asarray(logp[:29]).max())
+    # healthy chains untouched
+    assert np.array_equal(np.asarray(new.y[:29]), np.asarray(state.y[:29]))
