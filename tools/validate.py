@@ -282,7 +282,8 @@ for full-scale dense structure).
 """
 
 
-def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False):
+def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False,
+             sampler_kind="ensemble"):
     import numpy as np
     import jax
 
@@ -311,18 +312,32 @@ def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False):
     else:
         n_steps = 3000 * extra.get("steps_mult", 1)
     seed = fit.seed or 0
-    sampler = EnsembleSampler(fit.log_prob(), n_walkers, fit.spec.dim,
-                              moves=fit.moves)
     k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
     init = uniform_init(k1, fit.spec.bounds, n_walkers)
-    t0 = time.time()
-    state, chain = sampler.run(k2, init, n_steps)
-    np.asarray(chain.samples)  # force completion
-    dt = time.time() - t0
-    discard = (
-        min(fit.burn_in, n_steps // 4) if quick else max(fit.burn_in, n_steps // 3)
-    )
-    summ = summarize(fit, chain, discard=discard)
+    if sampler_kind == "hmc":
+        from cosmax.samplers import HMCSampler
+
+        # tau ~ 1: a third of the ensemble budget gives far more ESS
+        hmc = HMCSampler(fit.log_prob(), fit.spec.bounds, n_walkers)
+        t0 = time.time()
+        state, chain = hmc.run(
+            k2, n_steps // 3, n_warmup=500, initial=init
+        )
+        np.asarray(chain.samples)
+        dt = time.time() - t0
+        summ = summarize(fit, chain, discard=0)
+    else:
+        sampler = EnsembleSampler(fit.log_prob(), n_walkers, fit.spec.dim,
+                                  moves=fit.moves)
+        t0 = time.time()
+        state, chain = sampler.run(k2, init, n_steps)
+        np.asarray(chain.samples)  # force completion
+        dt = time.time() - t0
+        discard = (
+            min(fit.burn_in, n_steps // 4)
+            if quick else max(fit.burn_in, n_steps // 3)
+        )
+        summ = summarize(fit, chain, discard=discard)
     rows = []
     worst = 0.0
     alt = extra.get("alt")
@@ -354,6 +369,11 @@ def main(argv=None):
     ap.add_argument("--out", default="VALIDATION.md")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None, help="substring filter")
+    ap.add_argument("--sampler", default="ensemble",
+                    choices=["ensemble", "hmc"],
+                    help="hmc: gradient-based cross-check (use with "
+                         "--only and a scratch --out; the committed "
+                         "VALIDATION.md is the ensemble sweep)")
     args = ap.parse_args(argv)
 
     results = []
@@ -363,7 +383,7 @@ def main(argv=None):
             continue
         print(f"=== {label}", flush=True)
         try:
-            r = run_case(*case, quick=args.quick)
+            r = run_case(*case, quick=args.quick, sampler_kind=args.sampler)
             results.append(r)
             print(
                 f"    worst |dmedian|/sigma_pub = {r['worst_z']:.3f}, "
