@@ -39,8 +39,6 @@ def main(argv=None):
     args = ap.parse_args(argv)
     preset_name, n_walkers = CONFIGS[args.config]
 
-    import os
-
     import jax
     import jax.numpy as jnp
 

@@ -43,7 +43,6 @@ Per-dataset conversion to the store keys:
 
 import argparse
 import gzip
-import io
 import os
 import sys
 

@@ -43,7 +43,7 @@ are shared with the ensemble sampler.
 """
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple
 
 import numpy as np
 import jax
