@@ -135,7 +135,15 @@ def main(argv=None):
             max_leapfrog=args.max_leapfrog,
         )
         key_init, key_run = jax.random.split(jax.random.PRNGKey(seed))
-        initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
+        try:
+            # MAP + Laplace-sigma jitter: robust for the posteriors
+            # that occupy ~1e-4 of the box (see map_jitter_init)
+            from cosmax.samplers.optimize import map_jitter_init
+
+            initial = map_jitter_init(fit, key_init, n_walkers)
+        except Exception as e:
+            print(f"# map init failed ({e}); falling back to uniform")
+            initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
         t0 = time.time()
         state, chain = sampler.run(
             key_run, n_record, n_warmup=warmup, initial=initial
@@ -154,6 +162,7 @@ def main(argv=None):
             "inv_mass": sampler.inv_mass.tolist(),
             "divergent_steps": n_div,
             "rejuvenated_chains": sampler.n_rejuvenated,
+            "warmup_retries": sampler.warmup_retries,
         }
         print(format_summary(summary))
         _write_outputs(args, fit, chain, summary, discard)

@@ -25,12 +25,17 @@ Design, TPU-first:
   cost a diagonal metric ~15x in autocorrelation time; diagonal via
   ``dense_mass=False``): with hundreds of lockstep chains the
   adaptation sees hundreds of accept statistics per step, converging
-  far faster than any single-chain warmup. Mass updates repeat over
-  Stan-style expanding windows, the estimate trims the lowest-quartile
-  chains, and chains still stuck below the bulk at the end of warmup
-  are rejuvenated from healthy ones — each of these guards was
-  motivated by a measured flagship-warmup failure mode (see the
-  inline comments).
+  far faster than any single-chain warmup. Robustness guards, each
+  motivated by a measured warmup failure mode (see inline comments):
+  mass updates repeat over Stan-style expanding windows; the Welford
+  pool trims the lowest quartile AND anything far below the best
+  chain; trajectories with |dH| beyond a cap are rejected outright
+  (symmetric factor, so detailed balance holds); escapee chains are
+  rejuvenated from the healthy bulk at every mass boundary; and a
+  large end-of-warmup rejuvenation fraction triggers an automatic
+  warmup retry with a fresh key (the w0waCDM banana fails warmup on
+  ~1/5 of seeds — retrying converts that into a reported
+  ``warmup_retries`` instead of a mis-shaped chain).
 * **Jittered trajectories** — each step draws one shared trajectory
   length uniformly in ``[1, max_leapfrog]`` (independent of state, so
   detailed balance is untouched) which both decorrelates the chain
@@ -132,8 +137,13 @@ def _welford_update(a: AdaptState, y, dense: bool, logp=None):
     if logp is None:
         w = jnp.ones(y.shape[:1], dtype=y.dtype)
     else:
+        # quartile trim AND an absolute gap to the best chain: chains
+        # on a mid-window escape excursion (logp hundreds below the
+        # bulk) must not contaminate the estimate even when they are
+        # briefly more than a quarter of the ensemble
         cut = jnp.quantile(logp, 0.25)
-        w = (logp >= cut).astype(y.dtype)
+        gap = 10.0 + 5.0 * y.shape[1]
+        w = ((logp >= cut) & (logp >= jnp.max(logp) - gap)).astype(y.dtype)
     c = jnp.maximum(jnp.sum(w), 1.0)
     n = a.w_n + c
     batch_mean = jnp.sum(w[:, None] * y, axis=0) / c
@@ -182,6 +192,8 @@ class HMCSampler:
         self.ndim = int(np.asarray(bounds).shape[0])
         self.max_leapfrog = int(max_leapfrog)
         self.target_accept = float(target_accept)
+        # reject (don't just count) trajectories with |dH| beyond this
+        self.max_energy_error = 50.0
         self.transform = BoxTransform.from_bounds(bounds, self.dtype)
         tr = self.transform
 
@@ -249,11 +261,22 @@ class HMCSampler:
         h0 = -state.logp + kin0
         h1 = -logp1 + kin1
         log_ratio = h0 - h1
-        log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
+        # Reject trajectories whose energy error exceeds the cap IN
+        # EITHER direction. An unstable leapfrog trajectory can end
+        # with a spuriously *favorable* energy (large negative error)
+        # and teleport an accepted chain into a far tail — measured on
+        # the w0waCDM banana: post-mass-reset divergence storms
+        # scattered chains to logp ~ -4000 and collapsed the step
+        # size, a metastable warmup failure on ~1/3 of seeds. |dH| is
+        # invariant under trajectory reversal, so the cap is a
+        # symmetric acceptance factor and detailed balance holds.
+        divergent = jnp.abs(log_ratio) > self.max_energy_error
+        log_ratio = jnp.where(
+            jnp.isfinite(log_ratio) & ~divergent, log_ratio, -jnp.inf
+        )
         accept_prob = jnp.minimum(1.0, jnp.exp(log_ratio))
         u = jax.random.uniform(k_acc, (c,), dtype=self.dtype)
         accept = jnp.log(u) < log_ratio
-        divergent = (h1 - h0) > 1000.0
 
         y = jnp.where(accept[:, None], y1, state.y)
         logp = jnp.where(accept, logp1, state.logp)
@@ -341,6 +364,10 @@ class HMCSampler:
 
             hit = jnp.any(jnp.stack([i == b for b in mass_bnds]))
             ad = jax.lax.cond(hit, set_mass, lambda a: a, ad)
+            # pull escapees back before the next window's estimate
+            st = jax.lax.cond(
+                hit, lambda s: self._rejuvenate(s)[0], lambda s: s, st
+            )
             return (st, ad), None
 
         (state, adapt), _ = jax.lax.scan(
@@ -362,7 +389,14 @@ class HMCSampler:
         lp = state.logp
         q25 = jnp.quantile(lp, 0.25)
         q75 = jnp.quantile(lp, 0.75)
-        bad = lp < q25 - 3.0 * (q75 - q25)
+        # two criteria: IQR outliers (a few stragglers below a healthy
+        # bulk) AND an absolute gap to the best chain (robust when the
+        # MAJORITY has drifted out during non-stationary adaptation —
+        # measured on the w0waCDM banana, where >50% of chains
+        # diffused to logp ~ -3000 between mass windows and
+        # quantile-based cuts just chased the escaping cloud)
+        gap = 10.0 + 5.0 * state.y.shape[1]
+        bad = (lp < q25 - 3.0 * (q75 - q25)) | (lp < jnp.max(lp) - gap)
         healthy = (~bad).astype(lp.dtype)
         donors = jax.random.categorical(
             k_donor,
@@ -457,11 +491,28 @@ class HMCSampler:
             )
             state, chain = self._run_fixed(state, n_samples, eps, im)
             self.n_rejuvenated = 0
+            self.warmup_retries = 0
         else:
-            state, chain, eps, im, n_rejuv = self._run(
-                state, n_samples, n_warmup
-            )
-            self.n_rejuvenated = int(n_rejuv)
+            # The end-of-warmup rejuvenation count is a warmup health
+            # check: a large fraction means the ensemble escaped during
+            # the final window (measured on the w0waCDM banana: ~44% on
+            # ~1/5 of seeds, leaving the recorded chain mis-shaped).
+            # Warmup is a seed lottery on such posteriors — retry with
+            # a fresh key rather than sample from a bad state.
+            init_state = state
+            self.warmup_retries = 0
+            while True:
+                state, chain, eps, im, n_rejuv = self._run(
+                    init_state, n_samples, n_warmup
+                )
+                self.n_rejuvenated = int(n_rejuv)
+                healthy = self.n_rejuvenated <= 0.2 * self.n_chains
+                if healthy or self.warmup_retries >= 2:
+                    break
+                self.warmup_retries += 1
+                init_state = init_state._replace(
+                    key=jax.random.fold_in(init_state.key, self.warmup_retries)
+                )
         self.step_size = float(eps)
         self.inv_mass = np.asarray(im)
         return state, chain

@@ -153,3 +153,52 @@ def laplace_fit(fit, x0=None, **kwargs):
     chi2_at_map = float(sum(fit.chi2_breakdown()(jnp.asarray(x)).values()))
     params = {n: (float(v), float(s)) for n, v, s in zip(fit.spec.names, x, sig)}
     return params, chi2_at_map, corr
+
+
+def map_jitter_init(fit, key, n_chains, scale=1.0):
+    """Initial chain positions at the posterior mode with
+    ``scale``-times-Laplace-sigma Gaussian jitter, clipped to the
+    bounds interior.
+
+    The robust initializer for gradient-based sampling: the
+    CMB-anchored posteriors occupy ~1e-4 of the prior box per
+    dimension, and a uniform-in-box init leaves warmup adaptation
+    estimating its mass matrix from a diffuse unconverged cloud —
+    measured to fail catastrophically on a fraction of seeds
+    (bao.desi_cmb chains ending 20 sigma off). Costs one LM point fit
+    (~seconds). scale=1 (default): the Laplace sigma is itself
+    conservative along degenerate directions (e.g. the w0-wa banana,
+    where scale=2 put ~10% of chains into rejuvenation-needing
+    territory), so unit scale still overdisperses enough for R-hat.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    best, _, _ = map_fit(fit)
+    x = np.asarray([best[n] for n in fit.spec.names], dtype=np.float64)
+    cov, sig, _ = laplace(fit.log_prob(), x)
+    lo = fit.spec.bounds[:, 0]
+    hi = fit.spec.bounds[:, 1]
+    width = hi - lo
+    z = np.asarray(
+        jax.random.normal(key, (n_chains, fit.spec.dim)), dtype=np.float64
+    )
+    # jitter with the FULL covariance, not independent marginal sigmas:
+    # the joint posteriors are thin correlated ellipsoids (condition
+    # numbers ~100), and axis-aligned marginal-sigma jitter lands the
+    # cloud ~300 logp units off the shell (measured on
+    # bao.desi_cmb_union3) — warmup then sometimes never recovers.
+    cov = np.asarray(cov, dtype=np.float64)
+    try:
+        chol = np.linalg.cholesky(
+            cov + 1e-12 * np.eye(len(x)) * np.trace(cov)
+        )
+        init = x + scale * z @ chol.T
+    except np.linalg.LinAlgError:
+        sig = np.minimum(
+            np.where(np.isfinite(sig), sig, 0.05 * width), 0.2 * width
+        )
+        init = x + scale * sig * z
+    return jnp.asarray(
+        np.clip(init, lo + 1e-6 * width, hi - 1e-6 * width)
+    )

@@ -316,12 +316,17 @@ def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False,
     init = uniform_init(k1, fit.spec.bounds, n_walkers)
     if sampler_kind == "hmc":
         from cosmax.samplers import HMCSampler
+        from cosmax.samplers.optimize import map_jitter_init
 
-        # tau ~ 1: a third of the ensemble budget gives far more ESS
+        # tau ~ 1: a third of the ensemble budget gives far more ESS.
+        # MAP-jittered init: the CMB-anchored posteriors occupy ~1e-4
+        # of the prior box per dimension; warmup from a uniform init
+        # fails on a fraction of seeds (see map_jitter_init docstring).
         hmc = HMCSampler(fit.log_prob(), fit.spec.bounds, n_walkers)
         t0 = time.time()
         state, chain = hmc.run(
-            k2, n_steps // 3, n_warmup=500, initial=init
+            k2, n_steps // 3, n_warmup=800,
+            initial=map_jitter_init(fit, k1, n_walkers),
         )
         np.asarray(chain.samples)
         dt = time.time() - t0
