@@ -50,7 +50,8 @@ def test_fit_hmc_sampler(tmp_path, capsys):
         summ = json.load(f)
     assert summ["sampler"]["kind"] == "hmc"
     assert summ["sampler"]["divergent_steps"] == 0
-    assert len(summ["sampler"]["inv_mass"]) == 2
+    assert summ["sampler"]["warmup_retries"] == 0
+    assert len(summ["sampler"]["inv_mass"]) == 2  # dense [2, 2] rows
     chain = np.load(out / "chain.npy")
     # warmup is separate and discarded: steps - burn_in recorded draws
     assert chain.shape == (40, 16, 2)

@@ -136,3 +136,31 @@ def test_hmc_rejuvenates_stuck_chains():
     assert np.allclose(np.asarray(new.logp[-3:]), np.asarray(logp[:29]).max())
     # healthy chains untouched
     assert np.array_equal(np.asarray(new.y[:29]), np.asarray(state.y[:29]))
+
+
+def test_map_jitter_init_lands_on_correlated_shell():
+    """Init positions must use the full Laplace covariance: on a thin
+    correlated posterior, axis-aligned marginal-sigma jitter lands the
+    cloud far off the shell (measured -300 logp on the real joints)."""
+    from cosmax.likelihoods import ParamSpec
+    from cosmax.samplers.optimize import map_jitter_init
+
+    class FitStub:
+        pass
+
+    cov = np.array([[1.0, 0.999], [0.999, 1.0]])  # thin ellipse
+    prec = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+
+    def lp(x):
+        return -0.5 * x @ prec @ x
+
+    fit = FitStub()
+    fit.spec = ParamSpec(("a", "b"), np.array([[-5.0, 5.0], [-5.0, 5.0]]))
+    fit.log_prob = lambda: lp
+    init = map_jitter_init(fit, jax.random.PRNGKey(0), 256)
+    l = np.asarray(jax.vmap(lp)(init))
+    # mean logp cost of a covariance-matched jitter is ~ -D/2 * scale^2
+    assert np.median(l) > -4.0
+    assert np.asarray(init).shape == (256, 2)
+    # within bounds
+    assert (np.abs(np.asarray(init)) < 5.0).all()
