@@ -150,17 +150,30 @@ def main(argv=None):
         )
         np.asarray(chain.samples[-1, :1])
         dt = time.time() - t0
-        n_div = int(np.asarray(chain.move_index).sum())
+        div_per_chain = np.asarray(chain.divergences_per_chain)
+        n_div = int(div_per_chain.sum())
         print(f"# sampled {n_record} post-warmup steps in {dt:.1f}s "
-              f"(step size {sampler.step_size:.4g}, "
-              f"divergent steps {n_div})")
+              f"(step size {np.max(sampler.step_size):.4g}, "
+              f"divergent trajectories {n_div} across "
+              f"{int((div_per_chain > 0).sum())} chains)")
+        if sampler.warmup_retries:
+            print(f"# WARNING: warmup needed {sampler.warmup_retries} "
+                  f"retr{'y' if sampler.warmup_retries == 1 else 'ies'} "
+                  f"(ensemble escaped during adaptation); inspect "
+                  f"split R-hat before trusting the run")
+        from cosmax.samplers.diagnostics import split_gelman_rubin
+
         discard = 0
         summary = summarize(fit, chain, discard=0)
         summary["walltime_sec"] = dt
         summary["sampler"] = {
             "kind": "hmc", "step_size": sampler.step_size,
             "inv_mass": sampler.inv_mass.tolist(),
-            "divergent_steps": n_div,
+            "divergent_trajectories": n_div,
+            "divergences_per_chain": div_per_chain.tolist(),
+            "split_gelman_rubin": split_gelman_rubin(
+                np.asarray(chain.samples)
+            ).tolist(),
             "rejuvenated_chains": sampler.n_rejuvenated,
             "warmup_retries": sampler.warmup_retries,
         }

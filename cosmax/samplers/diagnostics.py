@@ -70,6 +70,22 @@ def gelman_rubin(samples):
     return np.sqrt(var_est / w_var)
 
 
+def split_gelman_rubin(samples):
+    """Split R-hat (Gelman et al. 2013, BDA3 SS11.4): each chain is cut
+    in half and the halves treated as separate chains, so within-chain
+    non-stationarity (a drifting or stuck chain whose full-length mean
+    looks fine) inflates the between-chain variance. The standard HMC
+    health diagnostic; the reference's plain R-hat
+    (sn/plotting.py:76-87) is kept for reporting parity."""
+    x = np.asarray(samples)  # [T, W, D]
+    half = x.shape[0] // 2
+    if half < 2:
+        return gelman_rubin(x)
+    return gelman_rubin(
+        np.concatenate([x[:half], x[half : 2 * half]], axis=1)
+    )
+
+
 def percentile_summary(flat_samples, names=None):
     """Median +/- (84.1-50)/(50-15.9) percentile errors per dimension
     (bao/desi.py:143-158). Returns dict name -> (median, plus, minus).

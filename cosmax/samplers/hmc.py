@@ -54,7 +54,38 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cosmax.samplers.ensemble import Chain
+from cosmax.samplers.ensemble import Chain  # noqa: F401  (layout docs)
+
+
+class HMCChain(NamedTuple):
+    """Recorded HMC chain: ``Chain``'s [T, C, D] layout plus a
+    first-class per-chain divergence record (no ``move_index`` pun —
+    HMC has no move mixture; what its users need instead is *which*
+    chains diverged and *how often*, the standard HMC health signal).
+    """
+
+    samples: jnp.ndarray  # [T, C, D] constrained-space draws
+    log_probs: jnp.ndarray  # [T, C]
+    accepted: jnp.ndarray  # [T, C] bool
+    divergent: jnp.ndarray  # [T, C] bool — |dH| > cap on that trajectory
+
+    @property
+    def acceptance_fraction(self):
+        return jnp.mean(self.accepted.astype(jnp.float32))
+
+    def flat(self, discard: int = 0, thin: int = 1):
+        s = self.samples[discard::thin]
+        return s.reshape(-1, s.shape[-1])
+
+    @property
+    def divergences_per_chain(self):
+        """[C] total divergent trajectories per chain."""
+        return jnp.sum(self.divergent.astype(jnp.int32), axis=0)
+
+    @property
+    def n_divergent(self):
+        """Total divergent (chain, step) trajectories."""
+        return jnp.sum(self.divergent.astype(jnp.int32))
 
 
 # -- box <-> unconstrained transform ------------------------------------
@@ -242,19 +273,24 @@ class HMCSampler:
         z = jax.random.normal(k_mom, (c, d), dtype=self.dtype)
         p0 = self._momentum(z, inv_mass)
 
+        # The log-prob value rides along in the leapfrog carry: the
+        # final iteration's value-and-grad call IS the evaluation at
+        # y1, so neither logp1 nor the post-acceptance gradient needs
+        # a fresh _value_and_grad — n_leap calls per trajectory where
+        # the naive form burns n_leap + 2 (~19% of the gradient budget
+        # at max_leapfrog=16, mean trajectory 8.5).
         def leapfrog_body(_, carry):
-            y, p, g = carry
+            y, p, v, g = carry
             p = p + 0.5 * eps * g
             y = y + eps * self._velocity(p, inv_mass)
-            _, g = self._value_and_grad(y)
+            v, g = self._value_and_grad(y)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             p = p + 0.5 * eps * g
-            return y, p, g
+            return y, p, v, g
 
-        y1, p1, g1 = jax.lax.fori_loop(
-            0, n_leap, leapfrog_body, (state.y, p0, state.grad)
+        y1, p1, logp1, g1 = jax.lax.fori_loop(
+            0, n_leap, leapfrog_body, (state.y, p0, state.logp, state.grad)
         )
-        logp1, _ = self._value_and_grad(y1)
 
         kin0 = self._kinetic(p0, inv_mass)
         kin1 = self._kinetic(p1, inv_mass)
@@ -280,7 +316,7 @@ class HMCSampler:
 
         y = jnp.where(accept[:, None], y1, state.y)
         logp = jnp.where(accept, logp1, state.logp)
-        _, grad = self._value_and_grad(y)  # cheap vs trajectory; keeps state exact
+        grad = jnp.where(accept[:, None], g1, state.grad)
         new_state = HMCState(y, logp, grad, key, state.step + 1)
         return new_state, accept, accept_prob, divergent
 
@@ -421,9 +457,9 @@ class HMCSampler:
 
     def _sample_scan(self, state: HMCState, n_samples: int, eps, inv_mass):
         """Post-warmup recording phase. No cross-chain reductions here
-        (the divergence `any` is order-independent), so a chain-axis
-        sharding of the state partitions the program without changing
-        any chain's trajectory — sharded == unsharded bitwise
+        (the per-chain divergence record is elementwise), so a
+        chain-axis sharding of the state partitions the program without
+        changing any chain's trajectory — sharded == unsharded bitwise
         (tests/test_parallel.py)."""
 
         def body(st, _):
@@ -431,14 +467,13 @@ class HMCSampler:
             n_leap = self._draw_length(k_len)
             st, accept, _, divergent = self._step(st, eps, inv_mass, n_leap)
             x = self.transform.to_x(st.y)
-            return st, (x, st.logp, accept, jnp.any(divergent))
+            return st, (x, st.logp, accept, divergent)
 
         state, (xs, lps, accs, divs) = jax.lax.scan(
             body, state, None, length=n_samples
         )
-        chain = Chain(
-            samples=xs, log_probs=lps, accepted=accs,
-            move_index=divs.astype(jnp.int32),  # 1 where any chain diverged
+        chain = HMCChain(
+            samples=xs, log_probs=lps, accepted=accs, divergent=divs
         )
         return state, chain
 
@@ -451,6 +486,60 @@ class HMCSampler:
     @partial(jax.jit, static_argnames=("self", "n_samples"))
     def _run_fixed(self, state: HMCState, n_samples: int, eps, inv_mass):
         return self._sample_scan(state, n_samples, eps, inv_mass)
+
+    @partial(jax.jit, static_argnames=("self", "n_warmup"))
+    def _run_warmup(self, state: HMCState, n_warmup: int):
+        return self._warmup(state, n_warmup)
+
+    def prepare_state(self, key, initial=None) -> HMCState:
+        """Initial sampler state from ``initial`` [C, D] in constrained
+        space (default: mid-box with 10%-of-width Gaussian jitter) —
+        the same construction ``run`` performs internally."""
+        k_init, k_run = jax.random.split(key)
+        if initial is None:
+            mid = self.transform.lo + 0.5 * self.transform.width
+            jitter = 0.1 * self.transform.width * jax.random.normal(
+                k_init, (self.n_chains, self.ndim), dtype=self.dtype
+            )
+            initial = mid + jitter
+        state = self.init_state(k_run, initial)
+        if not bool(np.all(np.isfinite(np.asarray(state.logp)))):
+            raise ValueError("initial positions have non-finite log-prob")
+        return state
+
+    def warmup(self, key, n_warmup: int, initial=None):
+        """Adaptation only: returns ``(state, step_size, inv_mass)``
+        ready for :meth:`run_from_state` — the checkpointable split of
+        :meth:`run` (warmup itself is not resumable; the recording
+        phase is, being a pure function of this return value). Applies
+        the same warmup-health retry policy as ``run`` and sets
+        ``self.warmup_retries`` / ``self.n_rejuvenated``."""
+        if n_warmup < 1:
+            raise ValueError("warmup requires n_warmup >= 1")
+        init_state = self.prepare_state(key, initial)
+        self.warmup_retries = 0
+        while True:
+            state, eps, im, n_rejuv = self._run_warmup(init_state, n_warmup)
+            self.n_rejuvenated = int(n_rejuv)
+            healthy = self.n_rejuvenated <= 0.2 * self.n_chains
+            if healthy or self.warmup_retries >= 2:
+                break
+            self.warmup_retries += 1
+            init_state = init_state._replace(
+                key=jax.random.fold_in(init_state.key, self.warmup_retries)
+            )
+        self.step_size = float(eps)
+        self.inv_mass = np.asarray(im)
+        return state, eps, im
+
+    def run_from_state(self, state: HMCState, n_samples: int, step_size, inv_mass):
+        """Record ``n_samples`` draws from a prepared/checkpointed
+        state at fixed sampler parameters. Pure in ``state`` — running
+        two segments back-to-back is bit-identical to one combined
+        segment (cosmax.samplers.checkpoints relies on this)."""
+        eps = jnp.asarray(step_size, dtype=self.dtype)
+        im = jnp.asarray(inv_mass, dtype=self.dtype)
+        return self._run_fixed(state, n_samples, eps, im)
 
     def run(
         self,
@@ -470,16 +559,13 @@ class HMCSampler:
         adapted values) are used as-is. This fixed-parameter path has
         no cross-chain reductions, so it is bitwise invariant under
         chain-axis sharding — the multi-chip mode."""
-        k_init, k_run = jax.random.split(key)
-        if initial is None:
-            mid = self.transform.lo + 0.5 * self.transform.width
-            jitter = 0.1 * self.transform.width * jax.random.normal(
-                k_init, (self.n_chains, self.ndim), dtype=self.dtype
+        if n_warmup > 0 and (step_size is not None or inv_mass is not None):
+            raise ValueError(
+                "step_size/inv_mass are only honoured with n_warmup=0 "
+                "(adaptation would overwrite them); pass n_warmup=0 to "
+                "reuse a previous run's adapted values"
             )
-            initial = mid + jitter
-        state = self.init_state(k_run, initial)
-        if not bool(np.all(np.isfinite(np.asarray(state.logp)))):
-            raise ValueError("initial positions have non-finite log-prob")
+        state = self.prepare_state(key, initial)
         if n_warmup == 0:
             if step_size is None:
                 raise ValueError("n_warmup=0 requires step_size")

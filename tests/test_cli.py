@@ -49,8 +49,10 @@ def test_fit_hmc_sampler(tmp_path, capsys):
     with open(out / "summary.json") as f:
         summ = json.load(f)
     assert summ["sampler"]["kind"] == "hmc"
-    assert summ["sampler"]["divergent_steps"] == 0
+    assert summ["sampler"]["divergent_trajectories"] == 0
+    assert summ["sampler"]["divergences_per_chain"] == [0] * 16
     assert summ["sampler"]["warmup_retries"] == 0
+    assert len(summ["sampler"]["split_gelman_rubin"]) == 2
     assert len(summ["sampler"]["inv_mass"]) == 2  # dense [2, 2] rows
     chain = np.load(out / "chain.npy")
     # warmup is separate and discarded: steps - burn_in recorded draws

@@ -42,7 +42,9 @@ def test_hmc_gaussian_recovery():
     _, ch = s.run(jax.random.PRNGKey(0), 1000, n_warmup=600)
     flat = np.asarray(ch.flat())
     assert 0.6 < float(ch.acceptance_fraction) < 0.95
-    assert int(np.asarray(ch.move_index).sum()) == 0  # no divergences
+    assert int(np.asarray(ch.n_divergent)) == 0  # no divergences
+    assert np.asarray(ch.divergent).shape == (1000, 64)
+    assert np.asarray(ch.divergences_per_chain).tolist() == [0] * 64
     assert np.allclose(flat.mean(0), np.asarray(mean), atol=0.05)
     assert np.allclose(flat.var(0), np.diag(cov), rtol=0.08)
     r = np.corrcoef(flat[:, 0], flat[:, 1])[0, 1]
@@ -98,6 +100,20 @@ def test_hmc_efficiency_vs_ensemble(x64):
     _, chain = s.run(jax.random.PRNGKey(2), 400, n_warmup=400)
     taus = autocorr_time(np.asarray(chain.samples))
     assert np.all(np.asarray(taus) < 2.0)
+
+
+def test_hmc_rejects_ignored_fixed_params():
+    """step_size/inv_mass with n_warmup > 0 would be silently
+    overwritten by adaptation — must raise instead."""
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2)
+
+    s = HMCSampler(lp, np.array([[-5.0, 5.0]] * 2), n_chains=4)
+    with pytest.raises(ValueError, match="n_warmup=0"):
+        s.run(jax.random.PRNGKey(0), 10, n_warmup=10, step_size=0.1)
+    with pytest.raises(ValueError, match="n_warmup=0"):
+        s.run(jax.random.PRNGKey(0), 10, n_warmup=10, inv_mass=np.eye(2))
 
 
 def test_hmc_rejects_bad_init():
