@@ -122,8 +122,6 @@ def main(argv=None):
     print(f"# params: {', '.join(fit.spec.names)}")
 
     if args.sampler == "hmc":
-        if args.checkpoint:
-            p.error("--checkpoint is ensemble-only")
         from cosmax.samplers.hmc import HMCSampler
 
         warmup = args.warmup if args.warmup is not None else burn_in
@@ -145,14 +143,31 @@ def main(argv=None):
             print(f"# map init failed ({e}); falling back to uniform")
             initial = uniform_init(key_init, fit.spec.bounds, n_walkers)
         t0 = time.time()
-        state, chain = sampler.run(
-            key_run, n_record, n_warmup=warmup, initial=initial
-        )
+        start_step = 0
+        if args.checkpoint:
+            from cosmax.samplers.checkpoints import run_hmc_with_checkpoints
+
+            state, chain, start_step = run_hmc_with_checkpoints(
+                sampler, key_run, n_record, args.checkpoint,
+                every=args.checkpoint_every, n_warmup=warmup,
+                initial=initial,
+            )
+            if chain is None:
+                print("# checkpoint already covers the requested steps; "
+                      "nothing to do")
+                return 0
+            if start_step:
+                print(f"# resumed from recorded draw {start_step}; chain "
+                      f"holds the post-resume segments only")
+        else:
+            state, chain = sampler.run(
+                key_run, n_record, n_warmup=warmup, initial=initial
+            )
         np.asarray(chain.samples[-1, :1])
         dt = time.time() - t0
         div_per_chain = np.asarray(chain.divergences_per_chain)
         n_div = int(div_per_chain.sum())
-        print(f"# sampled {n_record} post-warmup steps in {dt:.1f}s "
+        print(f"# sampled {n_record - start_step} post-warmup steps in {dt:.1f}s "
               f"(step size {np.max(sampler.step_size):.4g}, "
               f"divergent trajectories {n_div} across "
               f"{int((div_per_chain > 0).sum())} chains)")
@@ -167,7 +182,8 @@ def main(argv=None):
         summary = summarize(fit, chain, discard=0)
         summary["walltime_sec"] = dt
         summary["sampler"] = {
-            "kind": "hmc", "step_size": sampler.step_size,
+            "kind": "hmc",
+            "step_size": np.asarray(sampler.step_size).tolist(),
             "inv_mass": sampler.inv_mass.tolist(),
             "divergent_trajectories": n_div,
             "divergences_per_chain": div_per_chain.tolist(),

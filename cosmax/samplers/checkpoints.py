@@ -1,11 +1,20 @@
 """Sampler-state checkpointing for preemptible TPUs.
 
 The reference keeps chains only in memory (emcee's HDF backend is never
-used — SURVEY.md SS5). Here the full sampler state (walkers, log-probs,
-PRNG key, step counter) round-trips through a single npz file;
-``EnsembleSampler.run_from_state`` resumes bit-exactly (the sampler is
-a pure function of its state). Orbax is intentionally not required —
-the state is a few KB and a flat npz keeps the artifact portable.
+used — SURVEY.md SS5). Here the full sampler state round-trips through
+a single npz file; ``run_from_state`` resumes bit-exactly (both
+samplers are pure functions of their state). One file format serves
+both samplers — a ``kind`` tag plus the state arrays:
+
+* ``ensemble`` — walkers, log-probs, PRNG key, step counter
+* ``hmc`` — positions y (unconstrained), logp, grad, PRNG key, step,
+  plus the fixed sampler parameters (step_size, inv_mass) and the
+  recorded-draw counter; warmup adapts once up front and its result is
+  part of the checkpoint, so a preempted long HMC run resumes without
+  re-adapting.
+
+Orbax is intentionally not required — the state is a few KB and a flat
+npz keeps the artifact portable.
 """
 
 import os
@@ -15,23 +24,45 @@ import jax
 import jax.numpy as jnp
 
 from cosmax.samplers.ensemble import ChainState
+from cosmax.samplers.hmc import HMCState
+
+
+def _save_fields(path: str, kind: str, key, fields: dict, metadata: dict = None):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        kind=np.asarray(kind),
+        key_data=np.asarray(jax.random.key_data(key)),
+        **{k: np.asarray(v) for k, v in fields.items()},
+        **{f"meta_{k}": np.asarray(v) for k, v in (metadata or {}).items()},
+    )
+
+
+def _check_kind(z, path, expected):
+    # files written before the kind tag existed are all ensemble
+    kind = str(z["kind"]) if "kind" in z.files else "ensemble"
+    if kind != expected:
+        raise ValueError(
+            f"{path} holds a {kind!r} checkpoint, not {expected!r} — "
+            "it cannot resume this sampler"
+        )
 
 
 def save_state(path: str, state: ChainState, metadata: dict = None):
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    key_data = np.asarray(jax.random.key_data(state.key))
-    np.savez(
-        path,
-        walkers=np.asarray(state.walkers),
-        log_probs=np.asarray(state.log_probs),
-        key_data=key_data,
-        step=np.asarray(state.step),
-        **{f"meta_{k}": np.asarray(v) for k, v in (metadata or {}).items()},
+    _save_fields(
+        path, "ensemble", state.key,
+        dict(
+            walkers=state.walkers,
+            log_probs=state.log_probs,
+            step=state.step,
+        ),
+        metadata,
     )
 
 
 def load_state(path: str) -> ChainState:
     with np.load(path) as z:
+        _check_kind(z, path, "ensemble")
         key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
         return ChainState(
             walkers=jnp.asarray(z["walkers"]),
@@ -39,6 +70,47 @@ def load_state(path: str) -> ChainState:
             key=key,
             step=jnp.asarray(z["step"]),
         )
+
+
+def save_hmc_state(
+    path: str,
+    state: HMCState,
+    step_size,
+    inv_mass,
+    n_recorded: int,
+    metadata: dict = None,
+):
+    _save_fields(
+        path, "hmc", state.key,
+        dict(
+            y=state.y,
+            logp=state.logp,
+            grad=state.grad,
+            step=state.step,
+            step_size=step_size,
+            inv_mass=inv_mass,
+            n_recorded=n_recorded,
+        ),
+        metadata,
+    )
+
+
+def load_hmc_state(path: str):
+    """Returns ``(state, step_size, inv_mass, n_recorded, metadata)``."""
+    with np.load(path) as z:
+        _check_kind(z, path, "hmc")
+        key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
+        state = HMCState(
+            y=jnp.asarray(z["y"]),
+            logp=jnp.asarray(z["logp"]),
+            grad=jnp.asarray(z["grad"]),
+            key=key,
+            step=jnp.asarray(z["step"]),
+        )
+        meta = {
+            k[5:]: z[k][()] for k in z.files if k.startswith("meta_")
+        }
+        return state, z["step_size"][()], z["inv_mass"], int(z["n_recorded"]), meta
 
 
 def run_with_checkpoints(
@@ -99,3 +171,87 @@ def run_with_checkpoints(
 
     merged = jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *chains)
     return state, merged, start
+
+
+def run_hmc_with_checkpoints(
+    sampler,
+    key,
+    n_samples: int,
+    path: str,
+    every: int = 500,
+    n_warmup: int = 500,
+    initial=None,
+    step_size=None,
+    inv_mass=None,
+):
+    """HMC twin of :func:`run_with_checkpoints`: adapt once (warmup is
+    not resumable — it is cheap relative to a checkpoint-worthy run),
+    checkpoint the adapted state, then record in ``every``-step
+    segments, checkpointing after each. Resumes automatically if
+    ``path`` already holds an hmc state — the fixed-parameter recording
+    phase is a pure function of (y, logp, grad, key, eps, inv_mass), so
+    segmented == uninterrupted bitwise.
+
+    With ``n_warmup=0``, ``step_size`` (and optionally ``inv_mass``)
+    supply the fixed parameters directly, as in ``HMCSampler.run``.
+
+    Returns ``(state, chain, start)`` with the same resume semantics as
+    the ensemble version: on resume ``chain`` holds only post-resume
+    draws and ``start`` is the number already recorded. Also sets
+    ``sampler.step_size`` / ``inv_mass`` / ``warmup_retries`` /
+    ``n_rejuvenated`` (restored from the checkpoint on resume).
+    """
+    if every < 1:
+        raise ValueError(f"checkpoint interval must be >= 1 (got {every})")
+    if os.path.exists(path):
+        state, eps, im, done, meta = load_hmc_state(path)
+        sampler.warmup_retries = int(meta.get("warmup_retries", 0))
+        sampler.n_rejuvenated = int(meta.get("n_rejuvenated", 0))
+        sampler.step_size = np.asarray(eps)
+        sampler.inv_mass = np.asarray(im)
+        start = done
+        if done >= n_samples:
+            return state, None, done
+    else:
+        if n_warmup == 0:
+            if step_size is None:
+                raise ValueError("n_warmup=0 requires step_size")
+            state = sampler.prepare_state(key, initial)
+            eps = jnp.asarray(step_size, dtype=sampler.dtype)
+            im = (
+                sampler._mass_eye()
+                if inv_mass is None
+                else jnp.asarray(inv_mass, dtype=sampler.dtype)
+            )
+            sampler.warmup_retries = 0
+            sampler.n_rejuvenated = 0
+            sampler.step_size = np.asarray(eps)
+            sampler.inv_mass = np.asarray(im)
+        else:
+            if step_size is not None or inv_mass is not None:
+                raise ValueError(
+                    "step_size/inv_mass are only honoured with n_warmup=0"
+                )
+            state, eps, im = sampler.warmup(key, n_warmup, initial=initial)
+        save_hmc_state(path, state, eps, im, 0, _hmc_meta(sampler))
+        start = done = 0
+    chains = []
+    while done < n_samples:
+        seg = min(every, n_samples - done)
+        state, chain = sampler.run_from_state(state, seg, eps, im)
+        done += seg
+        save_hmc_state(path, state, eps, im, done, _hmc_meta(sampler))
+        chains.append(chain)
+    if not chains:
+        return state, None, start
+    import jax.tree_util as jtu
+
+    merged = jtu.tree_map(lambda *xs: jnp.concatenate(xs, axis=0), *chains)
+    return state, merged, start
+
+
+def _hmc_meta(sampler):
+    return dict(
+        warmup_retries=sampler.warmup_retries,
+        n_rejuvenated=sampler.n_rejuvenated,
+    )

@@ -17,9 +17,12 @@ Design, TPU-first:
   priors (bao/desi.py:59-66 bounds arrays) become a per-dimension logit
   transform with its exact log-Jacobian, so trajectories never hit the
   -inf boundary wall.
-* **Cross-chain pooled warmup** — dual-averaging step-size adaptation
-  (Hoffman & Gelman 2014, Nesterov dual averaging; target accept 0.8)
-  driven by the *mean* accept statistic over all chains, and a pooled
+* **Per-chain step size, pooled mass** — dual-averaging step-size
+  adaptation (Hoffman & Gelman 2014, Nesterov dual averaging; target
+  accept 0.8) runs *per chain* on each chain's own accept statistic
+  (one chain thrown out by a mass reset crushes only its own eps and
+  recovers — the pooled-mean variant was a measured warmup seed
+  lottery on the w0waCDM banana), and a pooled
   Welford estimate of the posterior covariance for the mass matrix
   (dense by default — the joint posteriors' rd-H0-style degeneracies
   cost a diagonal metric ~15x in autocorrelation time; diagonal via
@@ -33,9 +36,13 @@ Design, TPU-first:
   (symmetric factor, so detailed balance holds); escapee chains are
   rejuvenated from the healthy bulk at every mass boundary; and a
   large end-of-warmup rejuvenation fraction triggers an automatic
-  warmup retry with a fresh key (the w0waCDM banana fails warmup on
-  ~1/5 of seeds — retrying converts that into a reported
-  ``warmup_retries`` instead of a mis-shaped chain).
+  warmup retry with a fresh key. With per-chain dual averaging the
+  retry is a rare fallback, not a load-bearing mechanism: the
+  pooled-mean variant failed the health check on ~1/5 of seeds on
+  the w0waCDM banana, while the per-chain sweep
+  (tools/warmup_sweep.py: 20 seeds x 128 chains, bao.desi_union3
+  w0waCDM, warmup 800) measures 0 retries with at most 2.3% of
+  chains rejuvenated.
 * **Jittered trajectories** — each step draws one shared trajectory
   length uniformly in ``[1, max_leapfrog]`` (independent of state, so
   detailed balance is untouched) which both decorrelates the chain
@@ -147,10 +154,19 @@ class AdaptState(NamedTuple):
 _DA_GAMMA, _DA_T0, _DA_KAPPA = 0.05, 10.0, 0.75
 
 
-def _da_update(a: AdaptState, accept_mean, target):
+def _da_update(a: AdaptState, accept_stat, target):
+    """Nesterov dual averaging toward the target accept statistic.
+
+    ``accept_stat`` is the per-chain accept probability [C] and the
+    eps fields are per-chain [C] vectors (elementwise update): each
+    chain adapts its own step size, so one chain thrown out by a mass
+    reset crushes only ITS eps (and recovers), instead of either
+    dragging the pooled mean down for everyone or — the measured
+    w0waCDM warmup lottery — diverging unchecked because 200 healthy
+    chains held the pooled eps too large for it."""
     t = a.t + 1.0
     eta_h = 1.0 / (t + _DA_T0)
-    h_bar = (1.0 - eta_h) * a.h_bar + eta_h * (target - accept_mean)
+    h_bar = (1.0 - eta_h) * a.h_bar + eta_h * (target - accept_stat)
     log_eps = a.mu - jnp.sqrt(t) / _DA_GAMMA * h_bar
     eta = t ** (-_DA_KAPPA)
     log_eps_bar = eta * log_eps + (1.0 - eta) * a.log_eps_bar
@@ -269,6 +285,11 @@ class HMCSampler:
     def _step(self, state: HMCState, eps, inv_mass, n_leap):
         key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
         c, d = state.y.shape
+        # eps is a scalar (fixed-parameter runs) or per-chain [C]
+        # (adapted by per-chain dual averaging); broadcast over D
+        eps = jnp.asarray(eps, dtype=self.dtype)
+        if eps.ndim == 1:
+            eps = eps[:, None]
         # momentum ~ N(0, M) with M^{-1} = inv_mass (posterior covariance)
         z = jax.random.normal(k_mom, (c, d), dtype=self.dtype)
         p0 = self._momentum(z, inv_mass)
@@ -343,12 +364,15 @@ class HMCSampler:
                 for f in (0.30, 0.50, 0.75)
             }
         )
-        eps0 = jnp.asarray(0.1, dtype=self.dtype)
+        c = self.n_chains
+        # per-chain eps state: see _da_update for why per-chain (not
+        # pooled-mean) dual averaging is the de-lottery mechanism
+        log_eps0 = jnp.full((c,), np.log(0.1), dtype=self.dtype)
         adapt = AdaptState(
-            log_eps=jnp.log(eps0),
-            log_eps_bar=jnp.log(eps0),
-            h_bar=jnp.zeros((), self.dtype),
-            mu=jnp.log(10.0 * eps0),
+            log_eps=log_eps0,
+            log_eps_bar=log_eps0,
+            h_bar=jnp.zeros((c,), self.dtype),
+            mu=jnp.log(10.0) + log_eps0,
             t=jnp.zeros((), self.dtype),
             w_mean=jnp.zeros((d,), self.dtype),
             w_m2=jnp.zeros_like(self._mass_eye()) ,
@@ -363,7 +387,7 @@ class HMCSampler:
             st, _, accept_prob, _ = self._step(
                 st, jnp.exp(ad.log_eps), ad.inv_mass, n_leap
             )
-            ad = _da_update(ad, jnp.mean(accept_prob), self.target_accept)
+            ad = _da_update(ad, accept_prob, self.target_accept)
             ad = jax.lax.cond(
                 (i >= w1) & (i < mass_bnds[-1]),
                 lambda a: _welford_update(a, st.y, self.dense_mass, st.logp),
@@ -385,14 +409,14 @@ class HMCSampler:
                 # carrying the old (often 10-100x smaller) eps over
                 # leaves too little warmup to climb back (measured:
                 # bistable tau 1 vs 19 on the flagship joint)
-                log_eps0 = jnp.asarray(np.log(0.5), self.dtype)
+                log_eps_r = jnp.full((c,), np.log(0.5), self.dtype)
                 return a._replace(
                     inv_mass=var,
-                    log_eps=log_eps0,
-                    mu=jnp.log(10.0) + log_eps0,
-                    h_bar=jnp.zeros((), self.dtype),
+                    log_eps=log_eps_r,
+                    mu=jnp.log(10.0) + log_eps_r,
+                    h_bar=jnp.zeros((c,), self.dtype),
                     t=jnp.zeros((), self.dtype),
-                    log_eps_bar=log_eps0,
+                    log_eps_bar=log_eps_r,
                     w_mean=jnp.zeros((d,), self.dtype),
                     w_m2=jnp.zeros_like(a.w_m2),
                     w_n=jnp.zeros((), self.dtype),
@@ -409,10 +433,16 @@ class HMCSampler:
         (state, adapt), _ = jax.lax.scan(
             body, (state, adapt), jnp.arange(n_warmup)
         )
-        state, n_rejuvenated = self._rejuvenate(state)
-        return state, jnp.exp(adapt.log_eps_bar), adapt.inv_mass, n_rejuvenated
+        # final rejuvenation: a resampled chain inherits its donor's
+        # adapted step size along with its position — its own eps was
+        # adapted for the pathological region it is leaving
+        eps_bar = jnp.exp(adapt.log_eps_bar)
+        state, n_rejuvenated, (eps_bar,) = self._rejuvenate(
+            state, extras=(eps_bar,)
+        )
+        return state, eps_bar, adapt.inv_mass, n_rejuvenated
 
-    def _rejuvenate(self, state: HMCState):
+    def _rejuvenate(self, state: HMCState, extras=()):
         """Replace chains stuck far below the bulk with copies of
         healthy chains. A handful of inits land where the step size
         tuned for the typical set can never accept (zero-accept chains
@@ -420,7 +450,9 @@ class HMCSampler:
         position for the whole run and bias every marginal. Warmup
         draws are discarded, so resampling their positions from the
         healthy bulk only changes the (forgotten) starting
-        distribution."""
+        distribution. ``extras`` are per-chain [C] arrays permuted the
+        same way (the per-chain step size rides along with the donor's
+        position). Returns ``(state, n_bad, new_extras)``."""
         key, k_donor = jax.random.split(state.key)
         lp = state.logp
         q25 = jnp.quantile(lp, 0.25)
@@ -447,7 +479,8 @@ class HMCSampler:
             key=key,
             step=state.step,
         )
-        return state, jnp.sum(bad)
+        new_extras = tuple(jnp.where(bad, e[donors], e) for e in extras)
+        return state, jnp.sum(bad), new_extras
 
     # -- full run --------------------------------------------------------
     def init_state(self, key, initial_x) -> HMCState:
@@ -528,7 +561,7 @@ class HMCSampler:
             init_state = init_state._replace(
                 key=jax.random.fold_in(init_state.key, self.warmup_retries)
             )
-        self.step_size = float(eps)
+        self.step_size = np.asarray(eps)  # [C] per-chain
         self.inv_mass = np.asarray(im)
         return state, eps, im
 
@@ -599,6 +632,7 @@ class HMCSampler:
                 init_state = init_state._replace(
                     key=jax.random.fold_in(init_state.key, self.warmup_retries)
                 )
-        self.step_size = float(eps)
+        # scalar on the fixed-parameter path, [C] per-chain after warmup
+        self.step_size = np.asarray(eps)
         self.inv_mass = np.asarray(im)
         return state, chain

@@ -148,3 +148,111 @@ def test_invalid_every_rejected(tmp_path):
             s, jax.random.PRNGKey(0), jnp.zeros((32, 2)), 10,
             str(tmp_path / "c.npz"), every=0,
         )
+
+
+# -- HMC checkpointing ----------------------------------------------------
+
+from cosmax.samplers import HMCSampler  # noqa: E402
+from cosmax.samplers.checkpoints import (  # noqa: E402
+    load_hmc_state,
+    run_hmc_with_checkpoints,
+    save_hmc_state,
+)
+
+BOUNDS = np.array([[-6.0, 6.0], [-6.0, 6.0]])
+
+
+def _hmc(n_chains=16):
+    return HMCSampler(gauss_lp, BOUNDS, n_chains, max_leapfrog=8)
+
+
+def test_hmc_state_roundtrip(tmp_path):
+    s = _hmc()
+    state, eps, im = s.warmup(jax.random.PRNGKey(3), 100)
+    path = str(tmp_path / "h.npz")
+    save_hmc_state(path, state, eps, im, 42, {"warmup_retries": 1})
+    loaded, eps2, im2, n_rec, meta = load_hmc_state(path)
+    for a, b in zip(loaded[:3], state[:3]):  # y, logp, grad
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(loaded.key)),
+        np.asarray(jax.random.key_data(state.key)),
+    )
+    assert n_rec == 42 and int(meta["warmup_retries"]) == 1
+    np.testing.assert_array_equal(np.asarray(eps2), np.asarray(eps))
+    np.testing.assert_array_equal(np.asarray(im2), np.asarray(im))
+    # continuing from the loaded state is bit-identical
+    _, c1 = s.run_from_state(state, 5, eps, im)
+    _, c2 = s.run_from_state(loaded, 5, eps2, im2)
+    np.testing.assert_array_equal(np.asarray(c1.samples), np.asarray(c2.samples))
+
+
+def test_hmc_resume_equals_straight_run(tmp_path):
+    """The fixed-parameter recording phase is deterministic in its
+    state, so checkpointed segments == one uninterrupted scan, and a
+    crash + resume reproduces the straight run's draws bit-for-bit."""
+    s = _hmc()
+    key = jax.random.PRNGKey(7)
+    path = str(tmp_path / "h.npz")
+    # straight run: warmup + one 40-draw recording scan
+    s2 = _hmc()
+    state0, eps, im = s2.warmup(key, 120)
+    _, straight = s2.run_from_state(state0, 40, eps, im)
+    # "crash" after 2 of 5 segments
+    _, part1, start1 = run_hmc_with_checkpoints(
+        s, key, 16, path, every=8, n_warmup=120
+    )
+    assert start1 == 0
+    state, part2, start2 = run_hmc_with_checkpoints(
+        s, key, 40, path, every=8, n_warmup=120
+    )
+    assert start2 == 16
+    both = np.concatenate(
+        [np.asarray(part1.samples), np.asarray(part2.samples)]
+    )
+    np.testing.assert_array_equal(both, np.asarray(straight.samples))
+    # per-chain divergence record survives the merge
+    assert np.asarray(part2.divergent).shape == (24, 16)
+
+
+def test_hmc_checkpoint_already_complete(tmp_path):
+    s = _hmc()
+    path = str(tmp_path / "h.npz")
+    run_hmc_with_checkpoints(s, jax.random.PRNGKey(1), 10, path, every=4,
+                             n_warmup=60)
+    state, chain, start = run_hmc_with_checkpoints(
+        s, jax.random.PRNGKey(1), 10, path, every=4, n_warmup=60
+    )
+    assert chain is None and start == 10
+    # metadata restored for reporting even on the no-op path
+    assert s.warmup_retries == 0
+    assert np.asarray(s.step_size).shape == (16,)  # per-chain eps
+
+
+def test_hmc_checkpoint_fixed_params_no_warmup(tmp_path):
+    s = _hmc()
+    path = str(tmp_path / "h.npz")
+    init = np.tile([[1.5, -0.5]], (16, 1)) + 0.01 * np.arange(16)[:, None]
+    state, chain, start = run_hmc_with_checkpoints(
+        s, jax.random.PRNGKey(2), 12, path, every=5, n_warmup=0,
+        initial=init, step_size=0.3,
+    )
+    assert start == 0 and np.asarray(chain.samples).shape == (12, 16, 2)
+    assert np.isfinite(np.asarray(chain.samples)).all()
+
+
+def test_checkpoint_kind_mismatch_rejected(tmp_path):
+    import pytest
+
+    s = _sampler(16)
+    state, _ = s.run(jax.random.PRNGKey(0), jnp.zeros((16, 2)), 4)
+    path = str(tmp_path / "e.npz")
+    save_state(path, state)
+    with pytest.raises(ValueError, match="ensemble"):
+        load_hmc_state(path)
+    h = _hmc()
+    hstate, eps, im = h.warmup(jax.random.PRNGKey(0), 50)
+    hpath = str(tmp_path / "h.npz")
+    save_hmc_state(hpath, hstate, eps, im, 0)
+    with pytest.raises(ValueError, match="hmc"):
+        load_state(hpath)

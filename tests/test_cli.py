@@ -60,10 +60,26 @@ def test_fit_hmc_sampler(tmp_path, capsys):
     assert np.isfinite(chain).all()
 
 
-def test_fit_hmc_rejects_checkpoint(capsys):
-    with pytest.raises(SystemExit):
-        main(["--preset", "bao.desi", "--sampler", "hmc",
-              "--checkpoint", "/tmp/nope.npz"])
+def test_fit_hmc_checkpoint_resume(tmp_path, capsys):
+    """--checkpoint now works with --sampler hmc: a second invocation
+    picks up where the first stopped (warmup done once, fixed
+    parameters restored from the file)."""
+    ck = str(tmp_path / "hmc_state.npz")
+    base = ["--preset", "bao.desi", "--model", "lcdm", "--sampler", "hmc",
+            "--walkers", "16", "--burn-in", "0", "--warmup", "40",
+            "--seed", "0", "--no-plots", "--checkpoint", ck,
+            "--checkpoint-every", "10"]
+    rc = main(base + ["--steps", "15"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(base + ["--steps", "30"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "resumed from recorded draw 15" in text
+    # third run: nothing left to do
+    rc = main(base + ["--steps", "30"])
+    assert rc == 0
+    assert "already covers" in capsys.readouterr().out
 
 
 def test_fit_checkpoint_resume(tmp_path, capsys):

@@ -145,7 +145,7 @@ def test_hmc_rejuvenates_stuck_chains():
     # push the 3 outliers far below the bulk
     logp = state.logp.at[-3:].add(-500.0)
     state = HMCState(state.y, logp, state.grad, state.key, state.step)
-    new, n = s._rejuvenate(state)
+    new, n, _ = s._rejuvenate(state)
     assert int(n) == 3
     # outliers replaced by healthy positions (all healthy are at 0)
     assert np.allclose(np.asarray(new.y[-3:]), 0.0)
