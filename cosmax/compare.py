@@ -51,6 +51,7 @@ def compare_models(
     fast: bool = False,
     sampled_evidence: bool = False,
     seed: int = 0,
+    n_replicates: int = 4,
     **preset_kwargs,
 ):
     """Point-fit + Laplace comparison across model families.
@@ -58,11 +59,14 @@ def compare_models(
     Returns a list of per-model dicts (chi2_min, dchi2, k, aic, bic,
     log_evidence, params). With ``sampled_evidence=True`` each row
     additionally carries the exact stepping-stone ``log_evidence_ss``
-    and its MC ``log_evidence_ss_err`` (cosmax.samplers.evidence) —
-    the check that the Laplace approximation is trustworthy for the
-    posterior at hand. Stepping stone always runs on the fast-mode
-    likelihood (the parity trapezoid graphs make ``jax.grad`` compile
-    poorly; fast vs parity chi2 agree far below the MC error).
+    and ``log_evidence_ss_err`` — the cross-replicate scatter of
+    ``n_replicates`` independent tempered ladders
+    (cosmax.samplers.evidence), i.e. an error bar that covers per-rung
+    equilibration bias, not just within-ladder MC noise. The check
+    that the Laplace approximation is trustworthy for the posterior at
+    hand. Stepping stone always runs on the fast-mode likelihood (the
+    parity trapezoid graphs make ``jax.grad`` compile poorly; fast vs
+    parity chi2 agree far below the MC error).
     """
     import numpy as np
     import jax
@@ -106,9 +110,11 @@ def compare_models(
             res = stepping_stone_log_evidence(
                 ss_fit.log_prob(), ss_fit.spec.bounds,
                 key=jax.random.PRNGKey(seed),
+                n_replicates=n_replicates,
             )
             row["log_evidence_ss"] = res.log_evidence
             row["log_evidence_ss_err"] = res.error
+            row["ss_per_replicate"] = [float(t) for t in res.per_replicate]
             row["ss_acceptance"] = res.acceptance
         rows.append(row)
     base = next((r for r in rows if r["model"] == "lcdm"), rows[0])
@@ -135,24 +141,38 @@ def main(argv=None):
                    help="also compute the exact evidence by "
                         "stepping-stone sampling (tempered-ladder HMC; "
                         "~20s per model on CPU) next to the Laplace one")
+    p.add_argument("--replicates", type=int, default=4,
+                   help="independent stepping-stone ladders; the "
+                        "printed ± is their cross-replicate scatter")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    # host-side analysis: force CPU + f64 before jax initialises
+    # Host-side analysis: force CPU + f64 before jax initialises.
+    # Save/restore the global config — tests invoke main() in-process,
+    # and leaking x64 into the rest of a pytest session makes later
+    # f32 tests order-dependent.
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    prev_x64 = jax.config.jax_enable_x64
+    prev_platforms = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    from cosmax.utils.cache import enable_compile_cache
+    try:
+        from cosmax.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
+        enable_compile_cache()
 
-    rows = compare_models(
-        args.preset, [m.strip() for m in args.models.split(",") if m.strip()],
-        fast=args.fast, sampled_evidence=args.sampled_evidence,
-        seed=args.seed,
-    )
+        rows = compare_models(
+            args.preset,
+            [m.strip() for m in args.models.split(",") if m.strip()],
+            fast=args.fast, sampled_evidence=args.sampled_evidence,
+            seed=args.seed, n_replicates=args.replicates,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", prev_x64)
+        if prev_platforms is not None:
+            jax.config.update("jax_platforms", prev_platforms)
     ss_hdr = "  ss: ln Z - ln Z_lcdm" if args.sampled_evidence else ""
     hdr = (f"{'model':10s} {'chi2_min':>9s} {'dchi2':>7s} {'k':>2s} "
            f"{'AIC':>9s} {'BIC':>9s} {'ln Z - ln Z_lcdm':>17s}{ss_hdr}")

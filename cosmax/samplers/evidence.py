@@ -29,15 +29,18 @@ near-Gaussian bao.desi posterior the estimate lands within ~0.01 of
 the truth / the Laplace closed form. On sharply-peaked joints
 (|ln L| ~ 10^3, e.g. the flagship three-probe fit) the absolute ln Z
 carries a ~0.3-0.5 nat systematic at default budgets (per-rung
-equilibration + the finite-sample bias of the logsumexp estimator);
-seed-to-seed scatter is the honest uncertainty there, and the
-returned chain-group ``error`` underestimates it. Model-comparison
-*differences* cancel most of that shared bias: the flagship
-wzCDM-vs-ΛCDM Bayes factor reproduces the Laplace one to ~0.2-0.3
-nats. A per-rung *dense* mass matrix was tried and measured strictly
-worse (the mid-ladder power posteriors are too non-Gaussian for a
-global dense metric) — the ladder deliberately keeps the diagonal
-metric.
+equilibration + the finite-sample bias of the logsumexp estimator).
+``run(n_replicates=R)`` makes that uncertainty *measured* rather than
+assumed: R fully independent ladders run stacked along the rung axis
+of one lockstep program (own inits/chains/adaptation each) and the
+returned ``error`` is their cross-replicate scatter, which covers the
+equilibration-bias variation a single ladder's chain-group error
+cannot see. Model-comparison *differences* cancel most of the shared
+bias: the flagship wzCDM-vs-ΛCDM Bayes factor reproduces the Laplace
+one to ~0.2-0.3 nats. A per-rung *dense* mass matrix was tried and
+measured strictly worse (the mid-ladder power posteriors are too
+non-Gaussian for a global dense metric) — the ladder deliberately
+keeps the diagonal metric.
 """
 
 from functools import partial
@@ -61,10 +64,16 @@ class _LadderState(NamedTuple):
 
 class SteppingStoneResult(NamedTuple):
     log_evidence: float
-    error: float  # half-spread of the two chain-half estimates
+    # with n_replicates > 1: std of the independent replicate estimates
+    # / sqrt(R) — the honest uncertainty, covering per-rung
+    # equilibration bias scatter. With n_replicates = 1: the
+    # chain-group MC error, which underestimates shared equilibration
+    # bias (prefer replicates).
+    error: float
     betas: np.ndarray
-    per_rung: np.ndarray  # [K] ln r_k contributions
+    per_rung: np.ndarray  # [K] ln r_k contributions (replicate mean)
     acceptance: float
+    per_replicate: np.ndarray = None  # [R] independent ln Z estimates
 
 
 _DA_GAMMA, _DA_T0, _DA_KAPPA = 0.05, 10.0, 0.75
@@ -119,12 +128,14 @@ class SteppingStone:
         )
 
     # -- vectorized tempered step (all rungs x chains) -------------------
-    def _step(self, st: _LadderState, eps, inv_mass, n_leap):
-        """eps [K], inv_mass [K, D]; one jittered-HMC update of every
-        rung's chains."""
+    def _step(self, st: _LadderState, betas, eps, inv_mass, n_leap):
+        """betas [K], eps [K], inv_mass [K, D]; one jittered-HMC update
+        of every rung's chains. The rung axis may hold several stacked
+        replicate ladders — each rung adapts independently, so
+        replication is just more batch."""
         key, k_mom, k_acc = jax.random.split(st.key, 3)
         k, c, d = st.y.shape
-        b = self.betas[:, None]  # [K+1, 1]
+        b = betas[:, None]  # [K+1, 1]
         e = eps[:, None, None]  # [K, 1, 1]
         im = inv_mass[:, None, :]  # [K, 1, D]
 
@@ -171,8 +182,8 @@ class SteppingStone:
         return new, accept, accept_prob
 
     @partial(jax.jit, static_argnames=("self", "n_warmup", "n_samples"))
-    def _run(self, st: _LadderState, n_warmup: int, n_samples: int):
-        kk = self.n_rungs + 1
+    def _run(self, st: _LadderState, betas, n_warmup: int, n_samples: int):
+        kk = betas.shape[0]
         d = self.ndim
 
         # vectorized per-rung dual averaging + Welford
@@ -194,7 +205,7 @@ class SteppingStone:
             st, a = carry
             n_leap = self._draw_length(jax.random.fold_in(st.key, 7))
             st, _, accept_prob = self._step(
-                st, jnp.exp(a["log_eps"]), a["inv_mass"], n_leap
+                st, betas, jnp.exp(a["log_eps"]), a["inv_mass"], n_leap
             )
             am = jnp.mean(accept_prob, axis=1)  # [K+1]
             eta_h = 1.0 / (i + 1.0 + _DA_T0)
@@ -248,7 +259,7 @@ class SteppingStone:
 
         def sample_body(st, _):
             n_leap = self._draw_length(jax.random.fold_in(st.key, 7))
-            st, accept, _ = self._step(st, eps, inv_mass, n_leap)
+            st, accept, _ = self._step(st, betas, eps, inv_mass, n_leap)
             return st, (st.log_like, accept)
 
         st, (lls, accs) = jax.lax.scan(sample_body, st, None, length=n_samples)
@@ -257,14 +268,29 @@ class SteppingStone:
     def _draw_length(self, key):
         return jax.random.randint(key, (), 1, self.max_leapfrog + 1)
 
-    def run(self, key, n_warmup: int = 300, n_samples: int = 300):
-        """Returns a :class:`SteppingStoneResult`."""
+    def run(self, key, n_warmup: int = 300, n_samples: int = 300,
+            n_replicates: int = 1):
+        """Returns a :class:`SteppingStoneResult`.
+
+        ``n_replicates > 1`` runs R fully independent ladders (own
+        inits, own chains, own per-rung adaptation) stacked along the
+        rung axis of the SAME lockstep program — on a TPU the extra
+        ladders are just more batch — and reports the cross-replicate
+        scatter of ln Z as ``error``. That scatter covers what the
+        single-ladder chain-group error cannot: per-rung equilibration
+        bias varies between independently-warmed-up ladders, so it
+        shows up across replicates but is shared within one ladder's
+        chain groups."""
+        r = int(n_replicates)
+        if r < 1:
+            raise ValueError("n_replicates must be >= 1")
         k_init, k_run = jax.random.split(key)
         kk = self.n_rungs + 1
-        # uniform prior draws for every rung (warmup anneals each rung
-        # onto its own power posterior)
+        betas_j = jnp.tile(self.betas, r)  # [R*(K+1)] stacked ladders
+        # uniform prior draws for every (replicate, rung) — warmup
+        # anneals each rung onto its own power posterior
         u = jax.random.uniform(
-            k_init, (kk, self.n_chains, self.ndim), dtype=self.dtype
+            k_init, (r * kk, self.n_chains, self.ndim), dtype=self.dtype
         )
         x0 = self.transform.lo + (0.02 + 0.96 * u) * self.transform.width
         y0 = self.transform.to_y(x0)
@@ -272,32 +298,44 @@ class SteppingStone:
         if not bool(np.all(np.isfinite(np.asarray(ll0)))):
             raise ValueError("initial prior draws hit non-finite likelihood")
         st = _LadderState(y0, ll0, lj0, gl0, gj0, k_run)
-        st, lls, accs = self._run(st, n_warmup, n_samples)
+        st, lls, accs = self._run(st, betas_j, n_warmup, n_samples)
 
-        lls = np.asarray(lls, dtype=np.float64)  # [S, K+1, C]
+        # [S, R*(K+1), C] -> [R][K+1, S, C]
+        lls = np.asarray(lls, dtype=np.float64)
+        lls = lls.reshape(lls.shape[0], r, kk, self.n_chains)
         betas = np.asarray(self.betas, dtype=np.float64)
-        draws = np.moveaxis(lls, 0, 1)  # [K+1, S, C]
-        terms = np.asarray(_ss_estimate_np(draws, betas))
-        # MC error from independent chain groups (draws within a chain
-        # are autocorrelated; chains are independent): std of G group
-        # estimates / sqrt(G). Underestimates any shared equilibration
-        # bias — treat agreement across seeds as the stronger check.
-        g = max(2, min(8, self.n_chains // 4))
-        size = self.n_chains // g
-        totals = [
-            float(
-                _ss_estimate_np(
-                    draws[:, :, j * size : (j + 1) * size], betas
-                ).sum()
-            )
-            for j in range(g)
+        rep_terms = [
+            np.asarray(_ss_estimate_np(np.moveaxis(lls[:, j], 0, 1), betas))
+            for j in range(r)
         ]
+        totals = np.array([t.sum() for t in rep_terms])
+        if r > 1:
+            error = float(np.std(totals, ddof=1) / np.sqrt(r))
+        else:
+            # fallback: MC error from independent chain groups (draws
+            # within a chain are autocorrelated; chains are
+            # independent): std of G group estimates / sqrt(G).
+            # Underestimates shared equilibration bias — prefer
+            # n_replicates > 1.
+            draws = np.moveaxis(lls[:, 0], 0, 1)  # [K+1, S, C]
+            g = max(2, min(8, self.n_chains // 4))
+            size = self.n_chains // g
+            groups = [
+                float(
+                    _ss_estimate_np(
+                        draws[:, :, j * size : (j + 1) * size], betas
+                    ).sum()
+                )
+                for j in range(g)
+            ]
+            error = float(np.std(groups, ddof=1) / np.sqrt(g))
         return SteppingStoneResult(
-            log_evidence=float(terms.sum()),
-            error=float(np.std(totals, ddof=1) / np.sqrt(g)),
+            log_evidence=float(totals.mean()),
+            error=error,
             betas=betas,
-            per_rung=terms,
+            per_rung=np.mean(rep_terms, axis=0),
             acceptance=float(np.asarray(accs).mean()),
+            per_replicate=totals,
         )
 
 
@@ -326,7 +364,9 @@ def stepping_stone_log_evidence(
     if key is None:
         key = jax.random.PRNGKey(0)
     run_kw = {
-        k: kwargs.pop(k) for k in ("n_warmup", "n_samples") if k in kwargs
+        k: kwargs.pop(k)
+        for k in ("n_warmup", "n_samples", "n_replicates")
+        if k in kwargs
     }
     ss = SteppingStone(log_prob_fn, bounds, **kwargs)
     return ss.run(key, **run_kw)

@@ -71,13 +71,54 @@ def test_matches_laplace_on_preset(x64):
     assert res.log_evidence == pytest.approx(lap, abs=0.1)
 
 
+def test_replicated_error_covers_analytic_truth():
+    """n_replicates > 1: the reported error is the cross-replicate
+    scatter and it covers the analytic Gaussian ln Z across seeds —
+    the honest-uncertainty contract (the old chain-group error was a
+    documented underestimate)."""
+    mean = np.array([0.2, -0.3])
+    sig = np.array([0.3, 0.5])
+    bounds = np.array([[-4.0, 4.0], [-4.0, 4.0]])
+
+    def lp(x):
+        return -0.5 * jnp.sum(((x - mean) / sig) ** 2)
+
+    ln_z_true = float(
+        np.sum(np.log(np.sqrt(2 * np.pi) * sig))
+        - np.sum(np.log(bounds[:, 1] - bounds[:, 0]))
+    )
+    for seed in (0, 1, 2):
+        res = stepping_stone_log_evidence(
+            lp, bounds, key=jax.random.PRNGKey(seed),
+            n_rungs=16, n_chains=32, n_warmup=200, n_samples=200,
+            n_replicates=4,
+        )
+        assert res.per_replicate.shape == (4,)
+        # independent ladders: genuinely distinct estimates
+        assert len(set(np.round(res.per_replicate, 12))) == 4
+        assert res.error > 0.0
+        # mean-of-replicates lands on the truth within the quoted error
+        # (4 replicates: allow the t-tail with a 4x factor)
+        assert abs(res.log_evidence - ln_z_true) <= 4.0 * res.error
+        # per_rung stays the telescope of the mean estimate
+        assert res.per_rung.sum() == pytest.approx(
+            res.log_evidence, abs=1e-9
+        )
+
+
 def test_compare_cli_sampled_evidence(capsys):
+    import jax as _jax
+
     from cosmax.compare import main
 
+    prev_x64 = _jax.config.jax_enable_x64
     rc = main([
         "--preset", "bao.desi", "--models", "lcdm", "--sampled-evidence",
+        "--replicates", "2",
     ])
     assert rc == 0
+    # main() must not leak its x64/platform overrides into the session
+    assert _jax.config.jax_enable_x64 == prev_x64
     out = capsys.readouterr().out
     assert "ss: ln Z - ln Z_lcdm" in out
     assert "±" in out
