@@ -27,28 +27,76 @@ Per-dataset conversion to the store keys:
 
 * ``pantheon_plus``: the release matrix is stat+sys in the SH0ES frame
   and 1701-row release order = store row order -> saved as ``cov``.
-* ``des5y``: the release matrix is STAT+SYS in release row order; the
-  store is z-sorted (ingest_des5y), so the companion hubble-diagram
-  file is fetched to compute the argsort(zHD) permutation (and the
-  sorted zHD are cross-checked against the bundle); the systematic
-  part the loader expects (it re-adds diag(mu_err^2), loaders.py:185)
-  is then obtained by subtracting diag(mu_err^2).
+* ``des5y``: the release matrix is saved VERBATIM (z-sorted) as
+  ``cov_sys``. The reference consumer adds diag(MUERR_FINAL^2) on top
+  of its same-named ``covariance_stat_sys`` file
+  (y2024DES/data.py:18-20), and the cosmax loader reproduces exactly
+  that (loaders.py re-adds diag(mu_err^2)) — so parity with the
+  reference pipeline is preserved whatever the release file's own
+  diagonal convention is. The store is z-sorted (ingest_des5y), so the
+  companion hubble-diagram file is fetched to compute the argsort(zHD)
+  permutation (and the sorted zHD are cross-checked against the
+  bundle).
 * ``union21``: full systematic covariance in release row order; the
   store is z-sorted, so the companion mu-vs-z table provides the
   permutation, cross-checked the same way -> saved as ``cov``.
 * ``pantheon18``: systematics-only matrix in lcparam row order = store
   row order -> ``cov_sys`` (the loader re-adds diag(dmb^2),
   loaders.py:232).
+
+Integrity: each payload's size must match the published dataset
+(_EXPECTED_N); gross asymmetry is refused as format drift; the sha256
+of every download is printed and recorded in the bundle
+(``cov_fetch_sha256``) and verified against ``_SHA256`` when a pin is
+known (this box has no egress, so the pins start unset — populate them
+on first verified contact). After patching, the published chi^2 at the
+published best-fit point is re-evaluated (``postcheck``): a gross
+mismatch (orders beyond rounding error) aborts with a convention
+diagnosis instead of silently skewing every downstream fit.
 """
 
 import argparse
 import gzip
+import hashlib
 import os
 import sys
 
 import numpy as np
 
 from cosmax.data.ingest import STORE
+
+# Published dataset sizes (reference loaders): any other payload shape
+# is release-format drift and must fail loudly, not parse quietly.
+_EXPECTED_N = {
+    "pantheon_plus": 1701,  # y2022pantheonSHOES/data.py:9-18
+    "des5y": 1829,  # y2024DES/data.py:18-20
+    "union21": 580,  # y2011union2/data.py:9-19
+    "pantheon18": 1048,  # y2018pantheon/data.py:17
+}
+
+# sha256 pins of the release payloads. This build environment has no
+# egress, so the pins start unset (None = print + record, don't
+# verify); populate them on first verified contact with the releases
+# and any later silent re-upload will be refused.
+_SHA256 = {
+    "pantheon_plus": None,
+    "des5y": None,
+    "union21": None,
+    "pantheon18": None,
+}
+
+# Published (params -> chi2) anchors re-evaluated after a patch: the
+# strongest end-to-end check of the covariance convention (BASELINE.md
+# single-probe rows; chi2 at the published rounded medians matches the
+# published chi2 to ~0.1 on every verifiable dataset).
+_POSTCHECKS = {
+    "pantheon_plus": (
+        "sn.pantheon", {"M": -19.351, "Om": 0.332}, 1402.92,
+    ),  # sn/pantheon.py:191-208
+    "des5y": (
+        "sn.des5y", {"dM": 0.022, "Om": 0.352}, 1640.08,
+    ),  # sn/des5y.py:175-227
+}
 
 _URLS = {
     "pantheon_plus": (
@@ -122,7 +170,11 @@ def parse_cov(raw: bytes, fmt: str) -> np.ndarray:
 
 
 def patch_store(
-    dataset: str, cov: np.ndarray, raw_z: np.ndarray = None, store: str = None
+    dataset: str,
+    cov: np.ndarray,
+    raw_z: np.ndarray = None,
+    store: str = None,
+    provenance: dict = None,
 ) -> str:
     """Convert ``cov`` to the loader's store key and rewrite the npz
     bundle. ``raw_z`` is the release-row-order redshift column for the
@@ -133,6 +185,16 @@ def patch_store(
     path = os.path.join(store, f"{dataset}.npz")
     b = dict(np.load(path, allow_pickle=False))
     cov = np.asarray(cov, dtype=np.float64)
+    # release matrices are symmetric up to print truncation; anything
+    # grossly asymmetric is a mis-parsed / reformatted payload
+    scale = float(np.max(np.abs(cov))) or 1.0
+    asym = float(np.max(np.abs(cov - cov.T)))
+    if asym > 1e-6 * scale:
+        raise ValueError(
+            f"{dataset}: downloaded matrix is asymmetric "
+            f"(max |C - C^T| = {asym:.3g} vs scale {scale:.3g}) — "
+            "release format drift; refusing to patch"
+        )
     cov = 0.5 * (cov + cov.T)
 
     def zsort(bundle_z):
@@ -154,9 +216,17 @@ def patch_store(
         b["cov"] = cov
     elif dataset == "des5y":
         _check_shape(cov, len(b["mu_err"]))
-        c = zsort(b["z_hd"])
-        # release ships STAT+SYS; the loader re-adds diag(mu_err^2)
-        b["cov_sys"] = c - np.diag(b["mu_err"] ** 2)
+        # Stored VERBATIM (z-sorted): the reference adds
+        # diag(MUERR_FINAL^2) on top of its same-named
+        # covariance_stat_sys file (y2024DES/data.py:18-20) and the
+        # loader reproduces that, so storing the download unmodified
+        # preserves reference parity regardless of the release file's
+        # own diagonal convention. (Subtracting diag(mu_err^2) here —
+        # the previous behaviour — assumed the release includes it,
+        # which is unverifiable offline and would silently skew every
+        # des5y chi2 if wrong; postcheck() now validates the published
+        # chi2 after the patch either way.)
+        b["cov_sys"] = zsort(b["z_hd"])
     elif dataset == "union21":
         _check_shape(cov, len(b["mu"]))
         b["cov"] = zsort(b["z"])
@@ -166,6 +236,8 @@ def patch_store(
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
 
+    for k, v in (provenance or {}).items():
+        b[k] = np.asarray(v)
     np.savez_compressed(path, **b)
     # a long-lived process must see the patched bundle on next load
     from cosmax.data.loaders import _bundle
@@ -179,22 +251,87 @@ def _check_shape(cov, n):
         raise ValueError(f"covariance is {cov.shape}, dataset has {n} rows")
 
 
-def fetch(dataset: str, store: str = None, timeout: float = 120.0) -> str:
-    """Download one dataset's covariance and patch its store bundle."""
+def fetch(
+    dataset: str,
+    store: str = None,
+    timeout: float = 120.0,
+    run_postcheck: bool = True,
+) -> str:
+    """Download one dataset's covariance and patch its store bundle.
+
+    Full pipeline: download -> sha256 (verify against _SHA256 when
+    pinned, always recorded) -> parse (format + published-size check)
+    -> permute/patch -> published-chi2 postcheck. Every step fails
+    loudly on drift rather than patching a skewed covariance."""
     from urllib.request import urlopen
 
     url, fmt, companion = _URLS[dataset]
     print(f"fetching {dataset}: {url}")
     with urlopen(url, timeout=timeout) as r:
         raw = r.read()
+    digest = hashlib.sha256(raw).hexdigest()
+    pin = _SHA256.get(dataset)
+    if pin is not None and digest != pin:
+        raise ValueError(
+            f"{dataset}: payload sha256 {digest} != pinned {pin} — "
+            "the release file changed upstream; refusing to patch"
+        )
+    print(f"  sha256 {digest}" + ("" if pin else " (no pin yet — recorded)"))
     cov = parse_cov(raw, fmt)
+    n_expect = _EXPECTED_N[dataset]
+    if cov.shape[0] != n_expect:
+        raise ValueError(
+            f"{dataset}: payload is {cov.shape[0]}^2, published dataset "
+            f"is {n_expect}^2 — release format drift; refusing to patch"
+        )
     raw_z = None
     if companion is not None:
         with urlopen(companion, timeout=timeout) as r:
             raw_z = parse_redshifts(r.read(), dataset)
-    path = patch_store(dataset, cov, raw_z=raw_z, store=store)
+    path = patch_store(
+        dataset, cov, raw_z=raw_z, store=store,
+        provenance={"cov_fetch_sha256": digest, "cov_fetch_url": url},
+    )
     print(f"patched {path} ({cov.shape[0]}^2 covariance)")
+    if run_postcheck and store is None:
+        postcheck(dataset)
     return path
+
+
+def postcheck(dataset: str, atol: float = 2.0) -> float:
+    """Re-evaluate the published chi^2 at the published best-fit point
+    on the freshly-patched covariance (default store). A mismatch far
+    beyond rounding error means the covariance convention is wrong —
+    e.g. a diag(mu_err^2) double-count shifts the des5y chi2 by
+    hundreds — so it aborts with a diagnosis instead of letting every
+    downstream fit skew silently. Returns the chi2 difference."""
+    if dataset not in _POSTCHECKS:
+        return 0.0
+    import jax.numpy as jnp
+
+    from cosmax.configs import get_preset
+
+    preset_name, params, chi2_pub = _POSTCHECKS[dataset]
+    fit = get_preset(preset_name, "lcdm")
+    x = np.asarray([params[n] for n in fit.spec.names], dtype=np.float64)
+    chi2 = float(sum(fit.chi2_breakdown()(jnp.asarray(x)).values()))
+    diff = chi2 - chi2_pub
+    print(
+        f"  postcheck {preset_name}: chi2 at published best fit = "
+        f"{chi2:.2f} (published {chi2_pub:.2f}, diff {diff:+.2f})"
+    )
+    if abs(diff) > atol:
+        raise ValueError(
+            f"{dataset}: chi2 at the published best fit is {chi2:.2f}, "
+            f"published {chi2_pub:.2f} (diff {diff:+.2f} > {atol}) — the "
+            "patched covariance does not reproduce the reference "
+            "pipeline. Most likely the release file's diagonal "
+            "convention differs from the reference's "
+            "covariance_stat_sys input (e.g. diag(mu_err^2) counted "
+            "twice or missing). The bundle HAS been patched; inspect "
+            "cov_fetch_sha256/url provenance and re-ingest if needed."
+        )
+    return diff
 
 
 def main(argv=None):

@@ -47,8 +47,13 @@ def test_parse_redshifts():
     assert np.allclose(parse_redshifts(tsv, "union21"), [0.5, 0.2])
 
 
-def test_patch_store_des5y_sorts_and_subtracts_stat(tmp_path):
-    # store bundle is z-sorted; release cov is in raw row order
+def test_patch_store_des5y_sorts_verbatim(tmp_path):
+    """The release matrix is stored VERBATIM (only z-sorted): the
+    reference consumer adds diag(MUERR_FINAL^2) on top of its
+    same-named covariance_stat_sys file (y2024DES/data.py:18-20) and
+    the loader reproduces that — subtracting diag(mu_err^2) here (the
+    old behaviour) baked in an unverifiable assumption about the
+    release diagonal and would have skewed every des5y chi2 if wrong."""
     raw_z = np.array([0.4, 0.1, 0.3])
     order = np.argsort(raw_z)
     mu_err = np.array([0.2, 0.1, 0.15])[order]
@@ -62,7 +67,7 @@ def test_patch_store_des5y_sorts_and_subtracts_stat(tmp_path):
     stat_sys_raw = _spd(3, 2)
     patch_store("des5y", stat_sys_raw, raw_z=raw_z, store=str(tmp_path))
     b = np.load(tmp_path / "des5y.npz")
-    expect = stat_sys_raw[np.ix_(order, order)] - np.diag(mu_err**2)
+    expect = stat_sys_raw[np.ix_(order, order)]
     assert np.allclose(b["cov_sys"], expect)
 
     # integrity check: mismatched release redshifts must refuse
@@ -89,6 +94,145 @@ def test_patch_store_pantheon18_direct(tmp_path):
     # wrong size refuses
     with pytest.raises(ValueError, match="rows"):
         patch_store("pantheon18", _spd(5, 4), store=str(tmp_path))
+
+
+def test_patch_store_refuses_asymmetric(tmp_path):
+    np.savez(
+        tmp_path / "pantheon18.npz",
+        mb=np.zeros(4), dmb=np.full(4, 0.1),
+        z_cmb=np.linspace(0.1, 1, 4), z_hel=np.linspace(0.1, 1, 4),
+        legend=np.array("synthetic"),
+    )
+    bad = _spd(4, 6)
+    bad[0, 1] += 10.0  # gross asymmetry = mis-parsed payload
+    with pytest.raises(ValueError, match="asymmetric"):
+        patch_store("pantheon18", bad, store=str(tmp_path))
+
+
+# -- full download -> parse -> permute -> patch -> postcheck pipeline ----
+# (golden few-KB fixtures mimicking each release format, urlopen stubbed)
+
+
+class _FakeResponse:
+    def __init__(self, payload: bytes):
+        self._payload = payload
+
+    def read(self):
+        return self._payload
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _stub_urlopen(monkeypatch, payloads: dict):
+    """payloads: url -> bytes; anything else is a test bug.
+    fetch() imports urlopen from urllib.request at call time, so
+    patching the module attribute intercepts the download."""
+    import urllib.request
+
+    def fake(url, timeout=None):
+        if url not in payloads:
+            raise AssertionError(f"unexpected URL {url}")
+        return _FakeResponse(payloads[url])
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake)
+
+
+def _nfirst_payload(cov, gz=False):
+    # ragged header line (N) followed by one float per line — the
+    # Pantheon+/DES5Y/Pantheon18 release layout
+    text = f"{cov.shape[0]}\n" + "\n".join(
+        f"{v:.17g}" for v in cov.ravel()
+    )
+    raw = text.encode()
+    return gzip.compress(raw) if gz else raw
+
+
+def test_fetch_full_pipeline_des5y(tmp_path, monkeypatch):
+    """fetch('des5y') end-to-end minus the socket: gz nfirst payload,
+    csv companion, z-sort permutation, verbatim cov_sys, sha256
+    provenance recorded in the bundle."""
+    import hashlib
+
+    import cosmax.data.fetch as fetch_mod
+
+    raw_z = np.array([0.4, 0.1, 0.3])
+    order = np.argsort(raw_z)
+    mu_err = np.array([0.2, 0.1, 0.15])[order]
+    np.savez(
+        tmp_path / "des5y.npz",
+        z_hd=raw_z[order], mu_err=mu_err,
+        mu=np.zeros(3), z_hel=raw_z[order],
+        effective_sample_size=np.int64(3),
+        legend=np.array("synthetic"),
+    )
+    cov = _spd(3, 7)
+    url, fmt, companion = fetch_mod._URLS["des5y"]
+    payload = _nfirst_payload(cov, gz=True)
+    csv = b"CID,zHD,MU\na,0.4,35\nb,0.1,33\nc,0.3,34\n"
+    _stub_urlopen(monkeypatch, {url: payload, companion: csv})
+    monkeypatch.setitem(fetch_mod._EXPECTED_N, "des5y", 3)
+
+    path = fetch_mod.fetch("des5y", store=str(tmp_path))
+    b = np.load(path)
+    assert np.allclose(b["cov_sys"], cov[np.ix_(order, order)], atol=1e-12)
+    assert str(b["cov_fetch_sha256"]) == hashlib.sha256(payload).hexdigest()
+    assert str(b["cov_fetch_url"]) == url
+
+
+def test_fetch_rejects_sha_and_size_drift(tmp_path, monkeypatch):
+    import cosmax.data.fetch as fetch_mod
+
+    np.savez(
+        tmp_path / "pantheon18.npz",
+        mb=np.zeros(4), dmb=np.full(4, 0.1),
+        z_cmb=np.linspace(0.1, 1, 4), z_hel=np.linspace(0.1, 1, 4),
+        legend=np.array("synthetic"),
+    )
+    cov = _spd(4, 8)
+    url, _, _ = fetch_mod._URLS["pantheon18"]
+    _stub_urlopen(monkeypatch, {url: _nfirst_payload(cov)})
+    # size drift: payload is 4^2, published dataset is 1048^2
+    with pytest.raises(ValueError, match="format drift"):
+        fetch_mod.fetch("pantheon18", store=str(tmp_path))
+    # sha drift: pin something else
+    monkeypatch.setitem(fetch_mod._EXPECTED_N, "pantheon18", 4)
+    monkeypatch.setitem(fetch_mod._SHA256, "pantheon18", "0" * 64)
+    with pytest.raises(ValueError, match="sha256"):
+        fetch_mod.fetch("pantheon18", store=str(tmp_path))
+    # correct pin passes
+    import hashlib
+
+    monkeypatch.setitem(
+        fetch_mod._SHA256, "pantheon18",
+        hashlib.sha256(_nfirst_payload(cov)).hexdigest(),
+    )
+    path = fetch_mod.fetch("pantheon18", store=str(tmp_path))
+    assert np.allclose(np.load(path)["cov_sys"], cov, atol=1e-12)
+
+
+def test_postcheck_detects_convention_error(monkeypatch):
+    """A patched covariance that cannot reproduce the published chi2
+    aborts with a convention diagnosis (the guard that would have
+    caught a diag(mu_err^2) double-count on first real contact)."""
+    import cosmax.data.fetch as fetch_mod
+
+    monkeypatch.setitem(
+        fetch_mod._POSTCHECKS, "des5y",
+        ("bao.desi", {"h": 0.690, "Om": 0.298}, 10.27),
+    )
+    # passes against the real published anchor (chi2 10.2753)
+    assert abs(fetch_mod.postcheck("des5y")) < 0.1
+    # a wrong covariance convention = chi2 far off the published value
+    monkeypatch.setitem(
+        fetch_mod._POSTCHECKS, "des5y",
+        ("bao.desi", {"h": 0.690, "Om": 0.298}, 500.0),
+    )
+    with pytest.raises(ValueError, match="convention"):
+        fetch_mod.postcheck("des5y")
 
 
 def test_patched_bundle_loads_with_full_covariance(tmp_path, monkeypatch):
