@@ -26,7 +26,22 @@ Differences from emcee (by design):
   coords (as emcee does) but REPLACES the stored chain rather than
   appending a discontinuous segment to it; pass ``None`` or the
   returned state to continue a chain.
+* **blobs**: a ``log_prob_fn`` returning ``(logp, blob)`` (or a longer
+  tuple) is detected exactly as emcee does; ``get_blobs()`` returns
+  the per-(step, walker) blob array. Blobs are deterministic functions
+  of position, so they are recomputed in one vmapped pass over the
+  recorded chain instead of being threaded through the sampler's hot
+  loop — bit-identical to emcee's convention of storing the value at
+  the accepted position, with zero cost per MCMC step.
+* **backend**: :class:`NpzBackend` persists the chain + sampler state
+  (including the PRNG stream) to a single npz file —
+  ``emcee.backends.HDFBackend`` semantics: ``run_mcmc(None, n)``
+  resumes a crashed run where it left off and ``get_chain()`` returns
+  the full pre+post-crash history. An npz keeps the artifact portable
+  and dependency-free (same rationale as cosmax.samplers.checkpoints).
 """
+
+import os
 
 import numpy as np
 
@@ -36,6 +51,29 @@ from cosmax.samplers.ensemble import (
     MoveSpec,
     default_moves,
 )
+
+
+def _split_blobs(log_prob_fn, ndim):
+    """emcee-style blob detection: a log-prob returning a tuple is
+    (logp, *blobs). Returns (scalar_log_prob, blob_fn | None)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        out = jax.eval_shape(log_prob_fn, jnp.zeros((ndim,), jnp.float32))
+    except Exception:
+        return log_prob_fn, None
+    if not isinstance(out, tuple) or len(out) < 2:
+        return log_prob_fn, None
+
+    def lp(x):
+        return log_prob_fn(x)[0]
+
+    def blob_fn(x):
+        r = log_prob_fn(x)
+        return r[1] if len(r) == 2 else jnp.stack(list(r[1:]))
+
+    return lp, blob_fn
 
 
 def _coerce_moves(moves):
@@ -55,9 +93,10 @@ class EnsembleSampler:
     """Drop-in facade for ``emcee.EnsembleSampler`` (see module doc)."""
 
     def __init__(self, nwalkers, ndim, log_prob_fn, moves=None, seed=0,
-                 vmapped_log_prob=None):
+                 vmapped_log_prob=None, backend=None):
+        lp, self._blob_fn = _split_blobs(log_prob_fn, ndim)
         self._s = _CosmaxSampler(
-            log_prob_fn, nwalkers, ndim, moves=_coerce_moves(moves),
+            lp, nwalkers, ndim, moves=_coerce_moves(moves),
             vmapped_log_prob=vmapped_log_prob,
         )
         self.nwalkers = nwalkers
@@ -66,6 +105,15 @@ class EnsembleSampler:
         self._chain = None
         self._state = None
         self._n_starts = 0
+        self.backend = backend
+        if backend is not None and backend.initialized:
+            if (backend.nwalkers, backend.ndim) != (nwalkers, ndim):
+                raise ValueError(
+                    f"backend holds a ({backend.nwalkers}, {backend.ndim}) "
+                    f"run, sampler is ({nwalkers}, {ndim}); backend.reset() "
+                    "to start over"
+                )
+            self._state, self._chain = backend.load()
 
     def run_mcmc(self, initial_state, nsteps, progress=False, thin=1, **_):
         import jax
@@ -79,6 +127,12 @@ class EnsembleSampler:
             self._state = initial_state
             self._chain = None
         elif initial_state is not None:
+            if self.backend is not None and self.backend.initialized:
+                raise ValueError(
+                    "the backend already holds a run; pass "
+                    "initial_state=None to resume it or backend.reset() "
+                    "to start over (emcee HDFBackend semantics)"
+                )
             # explicit coords restart the chain from those positions,
             # exactly as emcee does (a prior run's endpoint is NOT
             # silently reused). Each fresh start folds a counter into
@@ -91,6 +145,7 @@ class EnsembleSampler:
             self._state, self._chain = self._s.run(
                 key, np.asarray(initial_state), nsteps, thin=thin
             )
+            self._persist()
             return self._state
         if self._state is None:
             raise ValueError(
@@ -108,7 +163,28 @@ class EnsembleSampler:
             self._chain = jtu.tree_map(
                 lambda a, b: jnp.concatenate([a, b]), self._chain, chain
             )
+        self._persist()
         return self._state
+
+    def _persist(self):
+        if self.backend is not None and self._chain is not None:
+            self.backend.save(self._state, self._chain)
+
+    def get_blobs(self, discard=0, thin=1, flat=False):
+        """Per-(step, walker) blobs, emcee layout. Recomputed from the
+        recorded positions in one vmapped pass (see module doc)."""
+        if self._blob_fn is None:
+            return None  # emcee returns None when log_prob has no blobs
+        if self._chain is None:
+            raise RuntimeError("run_mcmc has not been called")
+        import jax
+
+        samples = np.asarray(self._chain.samples)[discard::thin]
+        t, w = samples.shape[:2]
+        flat_pos = samples.reshape(t * w, self.ndim)
+        blobs = np.asarray(jax.jit(jax.vmap(self._blob_fn))(flat_pos))
+        blobs = blobs.reshape((t, w) + blobs.shape[1:])
+        return blobs.reshape((t * w,) + blobs.shape[2:]) if flat else blobs
 
     def get_chain(self, discard=0, thin=1, flat=False):
         """[steps, walkers, dim] like emcee.get_chain."""
@@ -154,3 +230,98 @@ class AutocorrError(Exception):
     def __init__(self, tau, message):
         super().__init__(message)
         self.tau = tau
+
+
+class NpzBackend:
+    """Persistent chain store with ``emcee.backends.HDFBackend``
+    semantics, as a single portable npz file: the recorded chain AND
+    the live sampler state (walkers, log-probs, PRNG stream, step
+    counter), so ``EnsembleSampler(..., backend=b)`` +
+    ``run_mcmc(None, n)`` resumes a crashed run bit-exactly where it
+    stopped and ``get_chain()`` spans the full history."""
+
+    def __init__(self, filename: str):
+        self.filename = str(filename)
+
+    @property
+    def initialized(self) -> bool:
+        return os.path.exists(self.filename)
+
+    def _load_raw(self):
+        with np.load(self.filename) as z:
+            return {k: z[k] for k in z.files}
+
+    @property
+    def iteration(self) -> int:
+        """Recorded steps so far (0 for an empty backend)."""
+        if not self.initialized:
+            return 0
+        return int(self._load_raw()["samples"].shape[0])
+
+    @property
+    def nwalkers(self):
+        return int(self._load_raw()["samples"].shape[1])
+
+    @property
+    def ndim(self):
+        return int(self._load_raw()["samples"].shape[2])
+
+    def reset(self, nwalkers=None, ndim=None):
+        """Drop the stored run (emcee's reset(nwalkers, ndim); the
+        shape args are accepted for signature parity — the next save
+        defines the shapes)."""
+        if self.initialized:
+            os.remove(self.filename)
+
+    def save(self, state, chain):
+        import jax
+
+        d = os.path.dirname(os.path.abspath(self.filename))
+        os.makedirs(d, exist_ok=True)
+        np.savez_compressed(
+            self.filename,
+            samples=np.asarray(chain.samples),
+            log_probs=np.asarray(chain.log_probs),
+            accepted=np.asarray(chain.accepted),
+            move_index=np.asarray(chain.move_index),
+            walkers=np.asarray(state.walkers),
+            state_log_probs=np.asarray(state.log_probs),
+            key_data=np.asarray(jax.random.key_data(state.key)),
+            step=np.asarray(state.step),
+        )
+
+    def load(self):
+        """-> (ChainState, Chain) for resuming."""
+        import jax
+        import jax.numpy as jnp
+
+        from cosmax.samplers.ensemble import Chain, ChainState
+
+        z = self._load_raw()
+        state = ChainState(
+            walkers=jnp.asarray(z["walkers"]),
+            log_probs=jnp.asarray(z["state_log_probs"]),
+            key=jax.random.wrap_key_data(jnp.asarray(z["key_data"])),
+            step=jnp.asarray(z["step"]),
+        )
+        chain = Chain(
+            samples=jnp.asarray(z["samples"]),
+            log_probs=jnp.asarray(z["log_probs"]),
+            accepted=jnp.asarray(z["accepted"]),
+            move_index=jnp.asarray(z["move_index"]),
+        )
+        return state, chain
+
+    def get_chain(self, discard=0, thin=1, flat=False):
+        z = self._load_raw()
+        s = z["samples"][discard::thin]
+        return s.reshape(-1, s.shape[-1]) if flat else s
+
+    def get_log_prob(self, discard=0, thin=1, flat=False):
+        z = self._load_raw()
+        lp = z["log_probs"][discard::thin]
+        return lp.reshape(-1) if flat else lp
+
+    def get_last_sample(self):
+        """Final walker coords [nwalkers, ndim] (emcee's State.coords)."""
+        return self._load_raw()["walkers"]
