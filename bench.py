@@ -29,7 +29,76 @@ CONFIGS = {
     # gradient-based sampler: near-independent draws/sec on the
     # flagship posterior (tau ~ 1, so effective samples ~ raw draws)
     "hmc": ("bao.desi_cmb_des5y", 8192),
+    # BASELINE.json north-star scale config: 1e5+ walkers advanced in
+    # lockstep THROUGH the ensemble sampler (full multiprobe joint),
+    # i.e. walker-steps/s with the red-black move machinery included,
+    # not bare logprob dispatches
+    "lockstep": ("joint.multiprobe", 131072),
 }
+
+# v5e (TPU v5 lite) roofline constants, public figures: 197 bf16
+# TFLOP/s MXU peak, ~819 GB/s HBM. The f32 ceiling used for %-of-peak
+# is the MEASURED dense f32 matmul rate on this chip (25.0 TFLOP/s,
+# ARCHITECTURE.md microbenchmark) — the honest attainable number for
+# an f32 pipeline, not the bf16 marketing peak.
+V5E_BF16_PEAK = 197.0e12
+V5E_F32_MATMUL_MEASURED = 25.0e12
+V5E_HBM_BYTES_PER_S = 819.0e9
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, bytes_accessed) for one call of the compiled program via
+    XLA cost analysis; (None, None) if the backend won't say."""
+    try:
+        comp = jitted.lower(*args).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return (
+            float(ca.get("flops", 0.0)) or None,
+            float(ca.get("bytes accessed", 0.0)) or None,
+        )
+    except Exception:
+        return None, None
+
+
+def _roofline_fields(flops, nbytes, per_call_dt, n_per_call):
+    """Attribute measured throughput against the v5e roofline."""
+    out = {}
+    if not flops or not per_call_dt:
+        return out
+    tflops = flops / per_call_dt / 1e12
+    out["flops_per_eval"] = round(flops / n_per_call, 1)
+    out["tflops"] = round(tflops, 3)
+    out["pct_f32_matmul_ceiling"] = round(
+        100.0 * tflops * 1e12 / V5E_F32_MATMUL_MEASURED, 2
+    )
+    out["pct_bf16_peak"] = round(100.0 * tflops * 1e12 / V5E_BF16_PEAK, 2)
+    if nbytes:
+        # XLA cost-analysis bytes are LOGICAL operand+result traffic —
+        # an upper bound on real HBM traffic, since fusion keeps
+        # intermediates in VMEM/registers. pct >= 100 is therefore a
+        # positive finding: the program measurably beats the roofline
+        # its logical byte count would allow, i.e. fusion worked.
+        out["bytes_per_eval"] = round(nbytes / n_per_call, 1)
+        out["arithmetic_intensity"] = round(flops / nbytes, 2)
+        hbm_frac = nbytes / per_call_dt / V5E_HBM_BYTES_PER_S
+        out["pct_hbm_bw_logical"] = round(100.0 * hbm_frac, 2)
+        attainable = min(
+            V5E_F32_MATMUL_MEASURED,
+            flops / nbytes * V5E_HBM_BYTES_PER_S,
+        )
+        out["pct_of_logical_roofline"] = round(
+            100.0 * tflops * 1e12 / attainable, 2
+        )
+        out["bound"] = (
+            "compute" if tflops * 1e12 > 0.6 * V5E_F32_MATMUL_MEASURED
+            else "vmem-fused (beats logical-byte roofline)"
+            if hbm_frac >= 1.0
+            else "hbm" if hbm_frac > 0.6
+            else "dispatch/vpu"
+        )
+    return out
 
 
 def main(argv=None):
@@ -51,6 +120,8 @@ def main(argv=None):
     fit = get_preset(preset_name, model="wzcdm", fast=True)
     if args.config == "hmc":
         return _bench_hmc(fit, n_walkers)
+    if args.config == "lockstep":
+        return _bench_lockstep(fit, n_walkers)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
     rng = np.random.default_rng(0)
@@ -84,16 +155,69 @@ def main(argv=None):
 
     evals_per_sec = n_walkers * n_iters / dt
     metric = f"{args.config}_joint_logprob_evals_per_sec_chip"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(evals_per_sec, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(evals_per_sec / 1.0e6, 3),
-            }
+    flops, nbytes = _cost_analysis(log_prob, walkers)
+    rec = {
+        "metric": metric,
+        "value": round(evals_per_sec, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(evals_per_sec / 1.0e6, 3),
+    }
+    rec.update(_roofline_fields(flops, nbytes, dt / n_iters, n_walkers))
+    print(json.dumps(rec))
+
+
+def _bench_lockstep(fit, n_walkers):
+    """North-star scale config (BASELINE.json): 1e5+ lockstep walkers
+    advanced THROUGH the ensemble sampler on the full multiprobe joint.
+    Reported as walker-steps/s: one unit = one walker advanced one
+    red-black ensemble step (proposal + batched log-prob + accept),
+    so the move machinery, PRNG, and scan bookkeeping are all in the
+    denominator — unlike the bare logprob-dispatch configs."""
+    import warnings
+
+    import jax
+
+    from cosmax.samplers import EnsembleSampler
+    from cosmax.samplers.ensemble import default_moves, uniform_init
+
+    n_steps = 16
+    with warnings.catch_warnings():
+        # >65536 walkers: the KDE move's O(W^2) density is documented
+        # as reassigned to stretch — expected here, not a surprise
+        warnings.simplefilter("ignore")
+        sampler = EnsembleSampler(
+            fit.log_prob(), n_walkers, fit.spec.dim, moves=default_moves()
         )
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(0))
+    init = jax.device_put(uniform_init(k_init, fit.spec.bounds, n_walkers))
+    state = sampler.init_state(k_run, init)
+    # warm-up / compile the whole-chain scan program
+    st, chain = sampler.run_from_state(state, n_steps)
+    np.asarray(chain.samples[-1, :1])
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st, chain = sampler.run_from_state(state, n_steps)
+        np.asarray(chain.samples[-1, :1])
+        dt = min(dt, time.perf_counter() - t0)
+    steps_per_sec = n_walkers * n_steps / dt
+    rec = {
+        "metric": "lockstep_walker_steps_per_sec_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "walker-steps/s",
+        "vs_baseline": round(steps_per_sec / 1.0e6, 3),
+        "n_walkers": n_walkers,
+        "acceptance": round(float(chain.acceptance_fraction), 3),
+    }
+    # _run is a jitted method: pass self explicitly (lower() on the
+    # attribute-accessed wrapper does not bind it)
+    flops, nbytes = _cost_analysis(
+        sampler._run, sampler, state, n_steps
     )
+    rec.update(
+        _roofline_fields(flops, nbytes, dt, n_walkers * n_steps)
+    )
+    print(json.dumps(rec))
 
 
 def _bench_hmc(fit, n_chains):

@@ -43,3 +43,33 @@ def test_whitened_chi2_padding():
     want = np.asarray(chi2_from_whitener(jnp.asarray(linv), jnp.asarray(delta)))
     assert got.shape == (w,)
     np.testing.assert_allclose(got, want, rtol=5e-5)
+
+
+def test_megakernel_blocked_log_prob_matches_vmap():
+    """The whole-log-prob mega-kernel (ops/pallas/megakernel.py) agrees
+    with jax.vmap on the flagship joint in interpreter mode, including
+    the padded final block. f32 tolerance: different batch shapes
+    change matmul lowering order, so per-walker values differ at the
+    usual f32 reordering level (~3e-4 relative on |logp| ~ 1e3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cosmax.configs import get_preset
+    from cosmax.ops.pallas.megakernel import blocked_log_prob
+
+    fit = get_preset("bao.desi_cmb_des5y", model="wzcdm", fast=True)
+    lp = fit.log_prob()
+    rng = np.random.default_rng(0)
+    lo, hi = fit.spec.bounds[:, 0], fit.spec.bounds[:, 1]
+    mid, span = 0.5 * (lo + hi), 0.05 * (hi - lo)
+    w = jnp.asarray(
+        (mid + span * rng.standard_normal((70, fit.spec.dim))).astype(
+            np.float32
+        )
+    )
+    ref = np.asarray(jax.vmap(lp)(w))
+    got = np.asarray(
+        blocked_log_prob(lp, fit.spec.dim, block=32, interpret=True)(w)
+    )
+    assert got.shape == (70,)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-3 * np.abs(ref).max())
