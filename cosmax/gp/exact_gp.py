@@ -120,6 +120,46 @@ class ExactGP:
         cov = k_ss - pdot(v.T, v) + test_noise * jnp.eye(x_test.shape[0])
         return mean, cov
 
+    # -- fantasy models -----------------------------------------------
+    def condition_on(self, x_new, y_new, noise_new) -> "ExactGP":
+        """Fantasy model: a new ``ExactGP`` conditioned on extra
+        observations without refitting hyperparameters.
+
+        The counterpart of gpytorch's ``ExactGP.get_fantasy_model`` +
+        ``FixedNoiseGaussianLikelihood.get_fantasy_likelihood``
+        (reference cosmic_chronometers/gp_lib.py:155-179): the training
+        set becomes the concatenation of the current data and
+        ``(x_new, y_new)``, and the fixed observation-noise covariance
+        is extended block-diagonally — ``noise_new`` may be a 1-D
+        vector of variances or a full PSD matrix, matching the 1-D/2-D
+        branches of gp_lib.py:169-176. Hyperparameters are shared:
+        evaluate ``predict``/``mll`` on the returned GP with the same
+        ``GPParams`` (``noise_scale`` multiplies the extended noise
+        covariance exactly as it does the original one).
+
+        Inputs must be in the GP's (standardised) units — the same
+        frame as ``self.x``/``self.y``.
+        """
+        x_new = jnp.atleast_1d(jnp.asarray(x_new, dtype=self.x.dtype))
+        y_new = jnp.atleast_1d(jnp.asarray(y_new, dtype=self.y.dtype))
+        noise_new = jnp.asarray(noise_new, dtype=self.noise_cov.dtype)
+        if noise_new.ndim == 1:
+            noise_new = jnp.diag(noise_new)
+        if x_new.shape[0] != y_new.shape[0] or (
+            noise_new.shape != (x_new.shape[0], x_new.shape[0])
+        ):
+            raise ValueError(
+                "condition_on: x_new, y_new and noise_new must describe "
+                f"the same number of points; got {x_new.shape[0]} x, "
+                f"{y_new.shape[0]} y, noise {noise_new.shape}"
+            )
+        return ExactGP(
+            jnp.concatenate([self.x, x_new]),
+            jnp.concatenate([self.y, y_new]),
+            jax.scipy.linalg.block_diag(self.noise_cov, noise_new),
+            (self.ls_lo, self.ls_hi),
+        )
+
 
 def fit_gp(
     z,

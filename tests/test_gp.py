@@ -77,3 +77,56 @@ def test_predictive_covariance_returned(fitted):
     )
     evals = np.linalg.eigvalsh(0.5 * (cov + cov.T))
     assert evals.min() > -1e-8 * evals.max()
+
+def test_condition_on_equals_rebuilt_gp(x64, cc):
+    """Fantasy conditioning (gp_lib.py:155-179 analogue): a GP
+    conditioned on extra observations gives exactly the predictive of
+    an ExactGP built on the concatenated dataset, for both 1-D variance
+    and full-matrix noise inputs."""
+    gp, params, info = fit_gp(cc.z, cc.values, cc.cov, iters=200)
+    x_new = np.array([0.35, 1.1])
+    y_new = np.array([0.2, -0.4])  # standardised units
+    var_new = np.array([0.05, 0.08])
+
+    fantasy = gp.condition_on(x_new, y_new, var_new)
+    direct = ExactGP(
+        np.concatenate([np.asarray(gp.x), x_new]),
+        np.concatenate([np.asarray(gp.y), y_new]),
+        np.block(
+            [
+                [np.asarray(gp.noise_cov), np.zeros((gp.n, 2))],
+                [np.zeros((2, gp.n)), np.diag(var_new)],
+            ]
+        ),
+        (gp.ls_lo, gp.ls_hi),
+    )
+    grid = np.linspace(0.0, 2.0, 17)
+    m1, c1 = fantasy.predict(params, grid)
+    m2, c2 = direct.predict(params, grid)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-8)
+
+    # full-matrix noise path
+    fantasy2 = gp.condition_on(x_new, y_new, np.diag(var_new))
+    m3, _ = fantasy2.predict(params, grid)
+    np.testing.assert_allclose(np.asarray(m3), np.asarray(m2), rtol=1e-10)
+
+
+def test_condition_on_pins_posterior_at_new_point(x64, cc):
+    """A near-noiseless fantasy observation pins the posterior mean and
+    collapses the variance at that point."""
+    gp, params, info = fit_gp(cc.z, cc.values, cc.cov, iters=200)
+    x0, y0 = 0.9, 1.3  # standardised units
+    fantasy = gp.condition_on([x0], [y0], [1e-8])
+    mean, cov = fantasy.predict(params, np.array([x0]), test_noise=0.0)
+    base_mean, base_cov = gp.predict(params, np.array([x0]), test_noise=0.0)
+    assert float(mean[0]) == pytest.approx(y0, abs=1e-3)
+    assert float(cov[0, 0]) < 1e-4 * float(base_cov[0, 0])
+
+
+def test_condition_on_validates_shapes(cc):
+    gp, params, info = fit_gp(cc.z, cc.values, cc.cov, iters=1)
+    with pytest.raises(ValueError):
+        gp.condition_on([0.1, 0.2], [1.0], [0.1, 0.1])
+    with pytest.raises(ValueError):
+        gp.condition_on([0.1], [1.0], np.eye(3))
