@@ -292,6 +292,17 @@ def _prediction_plots(fit, summary, out_dir):
                     z[order], theory[order],
                     title=str(term.meta.get("legend", term.name)),
                 )
+                # interactive analogue of the reference's CheckButtons
+                # error-bar toggle (sn/plotting.py:29-40) — headless
+                # runs get a standalone HTML file instead of a GUI
+                from cosmax.report.html import hubble_diagram_html
+
+                hubble_diagram_html(
+                    z, term.meta["values"], term.meta["errors"],
+                    z[order], theory[order],
+                    os.path.join(out_dir, f"predictions_{term.name}.html"),
+                    title=str(term.meta.get("legend", term.name)),
+                )
             elif kind == "bao":
                 curve = term.meta["theory_curve"]
                 fig = plots.predictions_bao(

@@ -83,3 +83,27 @@ def test_field_cli_rejects_phantom_w0(tmp_path):
 
     with pytest.raises(SystemExit, match="phantom"):
         main(["--w0", "-1.2", "--out", str(tmp_path)])
+
+
+def test_hubble_diagram_html(tmp_path):
+    """Interactive HTML Hubble diagram (sn/plotting.py:8-41 analogue):
+    standalone file, one error bar per datum in a toggleable layer,
+    checkbox wired to it."""
+    import numpy as np
+
+    from cosmax.report.html import hubble_diagram_html
+
+    rng = np.random.default_rng(0)
+    z = np.sort(rng.uniform(0.01, 1.5, 40))
+    mu = 5 * np.log10(z * 4283.0) + 25
+    err = rng.uniform(0.05, 0.3, 40)
+    path = tmp_path / "hd.html"
+    out = hubble_diagram_html(z, mu, err, z, mu, str(path))
+    text = path.read_text()
+    assert out == str(path)
+    assert text.startswith("<!DOCTYPE html>")
+    assert 'id="errorbar-layer"' in text
+    assert text.count("<line") >= 40  # error bars + ticks
+    assert 'type="checkbox"' in text and "Error Bars" in text
+    assert "<circle" in text and "<polyline" in text
+    assert "http" not in text.split("xmlns")[0]  # no external assets
