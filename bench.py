@@ -105,11 +105,23 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="flagship", choices=sorted(CONFIGS))
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument(
+        "--prng",
+        default=None,
+        choices=["threefry2x32", "rbg", "unsafe_rbg"],
+        help="override the PRNG implementation for this run — rbg is "
+        "hardware-generated on TPU and much cheaper than threefry in "
+        "latency-bound sampler loops; chains stay reproducible per "
+        "impl but bits differ from the threefry default",
+    )
     args = ap.parse_args(argv)
     preset_name, n_walkers = CONFIGS[args.config]
 
     import jax
     import jax.numpy as jnp
+
+    if args.prng:
+        jax.config.update("jax_default_prng_impl", args.prng)
 
     from cosmax.utils.cache import enable_compile_cache
 

@@ -119,7 +119,11 @@ def build_bao_term(
         )
 
         def dm_of(p):
-            return (C_KM_S / p["H0"]) * prefix_integral(p)[z_inverse]
+            from cosmax.ops.quadrature import static_take
+
+            return (C_KM_S / p["H0"]) * static_take(
+                prefix_integral(p), z_inverse
+            )
 
     else:
         raise ValueError(f"unknown grid mode {grid!r}")

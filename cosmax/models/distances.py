@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from cosmax.constants import C_KM_S
 from cosmax.models.background import e_of_z, hubble
-from cosmax.ops.quadrature import cumtrapz, gl_nodes_01
+from cosmax.ops.quadrature import cumtrapz, gl_nodes_01, prefix_sum_permuted
 
 
 def hubble_distance(z, params, model):
@@ -70,11 +70,31 @@ def make_prefix_comoving_integral(z_points, model, order: int = 8):
     inv_perm = np.argsort(perm)
     nodes_j = jnp.asarray(nodes)
     weights_j = jnp.asarray(weights)
+    # Mosaic path: the [S, order] panel grid vmaps to rank-3 tensors
+    # ([W, S, order] broadcasts/reductions), which crash the Mosaic
+    # compiler (bisected 2026-08-17: the flagship's bao/sn terms were
+    # the only rank-3 producers and the only Mosaic-compile failures).
+    # Under ``matmul_prefix_sums()`` evaluate on the flat node vector
+    # and fold weights x segment-sum x prefix-sum x permutation into
+    # ONE [S*order, N] contraction: rank-2 everywhere, MXU-trivial.
+    nodes_flat_j = jnp.asarray(nodes.reshape(-1))
+    seg_of_node = np.repeat(np.arange(len(widths)), order)
+    fused = weights.reshape(-1)[:, None] * (
+        seg_of_node[:, None] <= inv_perm[None, :]
+    )
+    fused_j = jnp.asarray(fused)
 
     def integral(params):
+        from cosmax.ops import quadrature as _q
+
+        if _q._PREFIX_IMPL == "matmul":
+            from cosmax.ops.linalg import pdot
+
+            integ = 1.0 / e_of_z(nodes_flat_j, params, model)
+            return pdot(integ, fused_j.astype(integ.dtype))
         integ = 1.0 / e_of_z(nodes_j, params, model)
         segments = jnp.sum(integ * weights_j, axis=-1)
-        return jnp.cumsum(segments)[inv_perm]
+        return prefix_sum_permuted(segments, inv_perm)
 
     return integral
 

@@ -23,8 +23,74 @@ compiler.
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot_rewrite(params, lhs, rhs):
+    """Canonicalise a ``dot_general`` for Mosaic, whose TPU dot lowering
+    accepts only plain 2-D matmuls (rank-1 operands and batch dims hit
+    an MLIR attribute parse error as of jax 0.9). Rank-2 pairs become
+    ``lhs' @ rhs'`` via transposes; rank-1/batched dots become an
+    explicit broadcast-multiply-reduce (exact f32 on the VPU, fine at
+    the tiny K<=65 contractions cosmax likelihoods produce)."""
+    (lc, rc), (lb, rb) = params["dimension_numbers"]
+    if not lb and not rb and lhs.ndim == 2 and rhs.ndim == 2:
+        lt = lhs if lc == (1,) else lhs.T
+        rt = rhs if rc == (0,) else rhs.T
+        return lax.dot_general(
+            lt,
+            rt,
+            (((1,), (0,)), ((), ())),
+            precision=params.get("precision"),
+            preferred_element_type=params.get("preferred_element_type"),
+        )
+    lf = [d for d in range(lhs.ndim) if d not in lc and d not in lb]
+    rf = [d for d in range(rhs.ndim) if d not in rc and d not in rb]
+    # dot_general output layout: batch dims, lhs free dims, rhs free dims
+    lt = jnp.transpose(lhs, list(lb) + lf + list(lc))
+    rt = jnp.transpose(rhs, list(rb) + rf + list(rc))
+    for _ in rf:  # broadcast lhs over rhs free dims
+        lt = jnp.expand_dims(lt, axis=len(lb) + len(lf))
+    for _ in lf:  # broadcast rhs over lhs free dims
+        rt = jnp.expand_dims(rt, axis=len(rb))
+    out = lt * rt
+    if lc:
+        out = jnp.sum(out, axis=tuple(range(-len(lc), 0)))
+    pet = params.get("preferred_element_type")
+    return out.astype(pet) if pet is not None else out
+
+
+def _eval_rewritten(jaxpr, consts, *args):
+    """``jax.core.eval_jaxpr`` with the dot_general rewrite applied,
+    recursing through inlined pjit calls."""
+    from jax.extend import core as jcore
+
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, jcore.Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        prim = eqn.primitive
+        if prim.name == "pjit":
+            inner = eqn.params["jaxpr"]
+            outvals = _eval_rewritten(inner.jaxpr, inner.consts, *invals)
+        elif prim.name == "dot_general":
+            outvals = [_dot_rewrite(eqn.params, *invals)]
+        else:
+            subfuns, bind_params = prim.get_bind_params(eqn.params)
+            ans = prim.bind(*subfuns, *invals, **bind_params)
+            outvals = ans if prim.multiple_results else [ans]
+        for v, o in zip(eqn.outvars, outvals):
+            env[v] = o
+    return [read(v) for v in jaxpr.outvars]
 
 
 def blocked_log_prob(
@@ -40,8 +106,6 @@ def blocked_log_prob(
     samplers consume (``make_log_prob`` output). Returns a function
     with the same contract as ``jax.vmap(log_prob_fn)``.
     """
-    from jax import core as jcore
-
     vbody = jax.vmap(log_prob_fn)
     # Pallas kernels may not capture array constants (quadrature nodes,
     # Gram matrices, data vectors...) — trace the body to a jaxpr and
@@ -50,7 +114,14 @@ def blocked_log_prob(
     # constants are small (<= [33, 33]); the big covariances were
     # folded away at build time by the compressed basis.
     example = jnp.zeros((block, ndim), jnp.float32)
-    closed = jax.make_jaxpr(vbody)(example)
+    # Mosaic has no cumsum/gather lowering — trace the prefix sums on
+    # the distance ladder as triangular-ones matmuls instead
+    # (ops/quadrature.py matmul_prefix_sums; bit-identical is not
+    # expected, agreement is to f32 roundoff).
+    from cosmax.ops.quadrature import matmul_prefix_sums
+
+    with matmul_prefix_sums():
+        closed = jax.make_jaxpr(vbody)(example)
     consts = [jnp.asarray(c) for c in closed.consts]
     # Mosaic-friendly transport: scalars ride as [1] arrays, bool masks
     # as int32; restored to the exact constvar avals inside the kernel.
@@ -72,7 +143,7 @@ def blocked_log_prob(
             if dt == jnp.bool_:
                 v = v != 0
             vals.append(v[0] if scalar else v)
-        (res,) = jcore.eval_jaxpr(closed.jaxpr, vals, w_ref[:])
+        (res,) = _eval_rewritten(closed.jaxpr, vals, w_ref[:])
         out_ref[i, :] = res.astype(jnp.float32)
 
     def _const_spec(c):

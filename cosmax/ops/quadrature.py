@@ -18,10 +18,77 @@ Two rule families:
   agrees with the published docstring values to 1e-6.
 """
 
+from contextlib import contextmanager
 from functools import lru_cache
 
 import numpy as np
 import jax.numpy as jnp
+
+# Prefix sums appear twice on the likelihood hot path (cumtrapz, the
+# shared-panel GL ladder in models/distances.py). XLA lowers
+# ``jnp.cumsum`` well, but Mosaic (pallas TPU kernels) has no cumsum
+# lowering — so the implementation is switchable: the default is
+# cumsum; inside ``matmul_prefix_sums()`` the same helpers trace to an
+# upper-triangular-ones matmul (K <= ~65 here, MXU-trivial), which
+# Mosaic can compile. ops/pallas/megakernel.py traces under the switch.
+_PREFIX_IMPL = "cumsum"
+
+
+@contextmanager
+def matmul_prefix_sums():
+    """Trace ``prefix_sum``/``prefix_sum_permuted`` as triangular
+    matmuls instead of ``cumsum``/gather (Mosaic-compatible)."""
+    global _PREFIX_IMPL
+    prev = _PREFIX_IMPL
+    _PREFIX_IMPL = "matmul"
+    try:
+        yield
+    finally:
+        _PREFIX_IMPL = prev
+
+
+def prefix_sum(y, axis: int = -1):
+    """``jnp.cumsum`` with a Mosaic-safe matmul variant (see above)."""
+    if _PREFIX_IMPL == "cumsum":
+        return jnp.cumsum(y, axis=axis)
+    from cosmax.ops.linalg import pdot
+
+    ym = jnp.moveaxis(y, axis, -1)
+    k = ym.shape[-1]
+    # out[i] = sum_{j<=i} y[j]  ==  y @ U,  U[j, i] = 1 iff j <= i.
+    # HIGHEST precision: bf16 MXU inputs would truncate y itself.
+    u = jnp.asarray(np.triu(np.ones((k, k))), dtype=ym.dtype)
+    return jnp.moveaxis(pdot(ym, u), -1, axis)
+
+
+def prefix_sum_permuted(y, inv_perm):
+    """``jnp.cumsum(y, -1)[..., inv_perm]`` with a static ``inv_perm``
+    (numpy), fused into ONE matmul under ``matmul_prefix_sums()`` —
+    Mosaic supports neither cumsum nor gather, but
+    ``M[j, i] = (j <= inv_perm[i])`` folds both into a contraction."""
+    inv_perm = np.asarray(inv_perm)
+    if _PREFIX_IMPL == "cumsum":
+        return jnp.cumsum(y, axis=-1)[..., inv_perm]
+    from cosmax.ops.linalg import pdot
+
+    n = y.shape[-1]
+    m = jnp.asarray(
+        np.arange(n)[:, None] <= inv_perm[None, :], dtype=y.dtype
+    )
+    return pdot(y, m)
+
+
+def static_take(y, idx):
+    """``y[..., idx]`` for a static numpy index vector; under
+    ``matmul_prefix_sums()`` a one-hot matmul (Mosaic has no gather)."""
+    idx = np.asarray(idx)
+    if _PREFIX_IMPL == "cumsum":
+        return y[..., idx]
+    from cosmax.ops.linalg import pdot
+
+    n = y.shape[-1]
+    m = jnp.asarray(np.arange(n)[:, None] == idx[None, :], dtype=y.dtype)
+    return pdot(y, m)
 
 
 @lru_cache(maxsize=None)
@@ -61,7 +128,7 @@ def cumtrapz(y, x, axis: int = -1):
     dx = jnp.diff(jnp.asarray(x, dtype=y.dtype))
     seg = 0.5 * dx * (y[..., 1:] + y[..., :-1])
     out = jnp.concatenate(
-        [jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype), jnp.cumsum(seg, axis=-1)],
+        [jnp.zeros(y.shape[:-1] + (1,), dtype=y.dtype), prefix_sum(seg, axis=-1)],
         axis=-1,
     )
     return jnp.moveaxis(out, -1, axis)

@@ -57,3 +57,32 @@ def test_gauss_legendre_cached(x64):
     a = gauss_legendre(64)
     b = gauss_legendre(64)
     assert a[0] is b[0]
+
+
+def test_matmul_prefix_sums_match_cumsum():
+    """The Mosaic-safe triangular-matmul variant of the prefix-sum
+    helpers (used by ops/pallas/megakernel.py) equals cumsum/gather."""
+    import numpy as np
+
+    from cosmax.ops.quadrature import (
+        cumtrapz,
+        matmul_prefix_sums,
+        prefix_sum,
+        prefix_sum_permuted,
+    )
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((4, 33))
+    perm = rng.permutation(33)
+    x = np.sort(rng.uniform(0, 2, 33))
+
+    base_ps = np.asarray(prefix_sum(y, axis=-1))
+    base_pp = np.asarray(prefix_sum_permuted(y, perm))
+    base_ct = np.asarray(cumtrapz(y, x, axis=-1))
+    with matmul_prefix_sums():
+        mm_ps = np.asarray(prefix_sum(y, axis=-1))
+        mm_pp = np.asarray(prefix_sum_permuted(y, perm))
+        mm_ct = np.asarray(cumtrapz(y, x, axis=-1))
+    np.testing.assert_allclose(mm_ps, base_ps, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(mm_pp, base_pp, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(mm_ct, base_ct, rtol=1e-6, atol=1e-6)
