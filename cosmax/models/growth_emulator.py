@@ -85,27 +85,47 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
 
     # The fsigma8 curves are smooth in z, so the [nodes..., Nz] table is
     # very low-rank along z. A build-time truncated SVD (f64) factors it
-    # as table ~= A[nodes..., R] @ B[R, Nz] with R ~ 5-10 at 1e-9
-    # relative truncation — the per-walker barycentric contraction then
-    # touches R columns instead of Nz, cutting the batched MXU matmul
-    # ([W, K] x [K, K^(p-1) R]) by Nz/R ~ 7x. The full-f32 (HIGHEST)
-    # matmul passes this buys back are what made fs8 43% of the
-    # multiprobe joint.
+    # as table ~= A[nodes..., R] @ B[R, Nz]; the per-walker barycentric
+    # contraction then materialises a [W, nodes, R] intermediate instead
+    # of [W, nodes, Nz] — at 131072 walkers the rank-65 vs rank-12
+    # difference is ~2.4 ms/eval of pure HBM traffic (measured v5e,
+    # round 3: fs8 was 48% of the multiprobe joint at rank 65).
+    #
+    # Rank selection is spectral, not an energy threshold: the
+    # singular values decay spectrally (smooth curves) down to the
+    # table's own RK4/interp noise floor (~1e-8 relative) and then
+    # flatline — measured 2-D wzcdm: 1.1e-1, 3.3e-2, ... 6e-8, then
+    # ~50 values stuck at 1-2e-8. Keep every component above the
+    # floor, drop the flat noise tail (whose omission costs <= 4e-7
+    # elementwise, the same order as the table's own error vs the
+    # exact ODE); a Frobenius-tail cut at 1e-9 instead keeps rank
+    # 65/66 — measured round 3 as ~2.4 ms/eval of pure HBM traffic at
+    # 131072 walkers, 48% of the whole multiprobe joint. The
+    # <=1e-6 ODE-agreement contract (tests/test_growth_emulator.py)
+    # is asserted directly on the truncation below.
     flat = table.reshape(-1, z_data.size)
     u, s, vt = np.linalg.svd(flat, full_matrices=False)
-    # smallest rank whose discarded tail has Frobenius norm <= 1e-9 of
-    # the total (an energy-cumsum threshold like 1 - 1e-18 underflows
-    # to exactly 1.0 in f64 and would make rank selection depend on
-    # rounding luck)
-    tail = np.sqrt(np.cumsum((s**2)[::-1])[::-1])  # tail[r] = ||s[r:]||_F
-    ok = tail <= 1e-9 * tail[0]
-    rank = int(np.argmax(ok)) if ok.any() else s.size
+    noise = s <= 2e-8 * s[0]
+    rank = int(np.argmax(noise)) if noise.any() else s.size
     rank = max(rank, 1)
-    a_fac = (u[:, :rank] * s[:rank]).reshape(*([n_nodes] * ndim_p), rank)
-    b_fac = vt[:rank]
-
-    table_j = jnp.asarray(a_fac)
-    b_j = jnp.asarray(b_fac)
+    while (
+        rank < s.size
+        and np.max(np.abs((u[:, :rank] * s[:rank]) @ vt[:rank] - flat))
+        > 1e-6
+    ):
+        rank += 1
+    if rank > min(flat.shape) // 2:
+        # factorisation wouldn't pay (tiny tables, e.g. few-node test
+        # grids) — keep the exact table; barycentric evaluation then
+        # stays exact at the Chebyshev nodes.
+        table_j = jnp.asarray(table)
+        b_j = None
+    else:
+        a_fac = (u[:, :rank] * s[:rank]).reshape(
+            *([n_nodes] * ndim_p), rank
+        )
+        table_j = jnp.asarray(a_fac)
+        b_j = jnp.asarray(vt[:rank])
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
 
@@ -127,6 +147,8 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
             out = jnp.tensordot(
                 w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
             )
+        if b_j is None:
+            return out
         # expand the rank-R coefficients back onto the data redshifts
         return jnp.tensordot(out, b_j, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
 

@@ -57,7 +57,7 @@ def prefix_sum(y, axis: int = -1):
     k = ym.shape[-1]
     # out[i] = sum_{j<=i} y[j]  ==  y @ U,  U[j, i] = 1 iff j <= i.
     # HIGHEST precision: bf16 MXU inputs would truncate y itself.
-    u = jnp.asarray(np.triu(np.ones((k, k))), dtype=ym.dtype)
+    u = jnp.asarray(np.triu(np.ones((k, k))), dtype=jnp.result_type(ym))
     return jnp.moveaxis(pdot(ym, u), -1, axis)
 
 
@@ -73,7 +73,7 @@ def prefix_sum_permuted(y, inv_perm):
 
     n = y.shape[-1]
     m = jnp.asarray(
-        np.arange(n)[:, None] <= inv_perm[None, :], dtype=y.dtype
+        np.arange(n)[:, None] <= inv_perm[None, :], dtype=jnp.result_type(y)
     )
     return pdot(y, m)
 
@@ -87,7 +87,9 @@ def static_take(y, idx):
     from cosmax.ops.linalg import pdot
 
     n = y.shape[-1]
-    m = jnp.asarray(np.arange(n)[:, None] == idx[None, :], dtype=y.dtype)
+    m = jnp.asarray(
+        np.arange(n)[:, None] == idx[None, :], dtype=jnp.result_type(y)
+    )
     return pdot(y, m)
 
 
