@@ -27,6 +27,27 @@ def test_emulator_matches_ode(x64, model, params):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.parametrize(
+    "model,params",
+    [
+        ("wzcdm", {"Om": 0.31, "w0": -0.85}),
+        ("w0wacdm", {"Om": 0.32, "w0": -0.7, "wa": -0.9}),
+    ],
+)
+def test_emulator_factored_path_matches_ode(x64, model, params):
+    # A production-size z grid (fs8 dataset has 66 redshifts) makes the
+    # z-SVD factorisation pay, so this exercises the truncated-rank
+    # path (tiny grids like Z above fall back to the exact table) and
+    # pins its build-time <=1e-6 elementwise truncation contract
+    # against the direct ODE.
+    z = np.linspace(0.02, 1.944, 66)
+    emu = make_fs8_emulator(z, model)
+    p = dict(params, sigma8=1.0)
+    got = np.asarray(emu(p))
+    want = np.asarray(fsigma8(z, dict(p), model))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-9)
+
+
 def test_emulator_exact_at_nodes(x64):
     from cosmax.models.growth_emulator import _cheb_nodes, DOMAINS
 
