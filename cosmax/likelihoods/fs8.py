@@ -55,7 +55,7 @@ def build_fs8_term(
     if fast_mode():
         # Chebyshev growth emulator: spectral tensor interpolation in
         # (Om, w0[, wa]) replaces the per-eval 999-step ODE scan
-        # (cosmax.models.growth_emulator; <=1e-7 agreement tested), and
+        # (cosmax.models.growth_emulator; <=2e-6 agreement tested), and
         # the AP comoving integrals share prefix panels over the sorted
         # 66 data redshifts (528 E(z) evals/walker instead of 66x64).
         from cosmax.models.growth_emulator import make_fs8_emulator

@@ -9,7 +9,9 @@ fast mode we solve the ODE once per node of a Chebyshev tensor grid
 over the prior box at build time (vmapped RK4, a few hundred solves),
 and each evaluation becomes a barycentric tensor contraction — O(n^2)
 flops instead of a 4000-stage sequential integration, with spectral
-accuracy (verified ≤1e-7 against the direct ODE in tests).
+accuracy (verified ≤1e-7 for the 1-2 parameter families and ≤2e-6 for
+w0wacdm against the direct ODE in tests; the CPL family needs the
+split-axis treatment in :func:`_make_fs8_emulator_w0wa`).
 
 The emulated vector is fsigma8(z_data)/sigma8; the likelihood
 multiplies by the sampled sigma8.
@@ -49,61 +51,51 @@ def _bary_weights(n):
     return w
 
 
-def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4):
-    """Returns ``fn(p) -> fsigma8(z_data) / sigma8`` (jittable)."""
-    pnames = MODEL_PARAMS[model]
-    ndim_p = len(pnames)
-    if n_nodes is None:
-        # worst |emulator - ODE| over the full domain: 5e-8 (1D/48),
-        # 5.9e-8 (2D/32), 6e-8 (3D/32). 24 nodes would still be accurate
-        # (1.4e-6 in 2D) but is measurably SLOWER on the MXU — the
-        # contraction pads to the same 128-lane tiles either way and the
-        # off-power-of-two layout loses ~20% (measured on the v5e), so
-        # 32 is both the accuracy and the speed optimum.
-        n_nodes = {1: 48, 2: 32, 3: 32}[ndim_p]
-    z_data = np.asarray(z_data, dtype=np.float64)
+def _solve_table(flat_params, to_params, model, z_data, substeps):
+    """ODE-solve fsigma8/sigma8 at every node of a flattened grid.
 
-    axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
-    grids = np.meshgrid(*axes, indexing="ij")
-    flat_params = np.stack([g.ravel() for g in grids], axis=1)  # [M, P]
+    ``to_params(theta) -> dict`` maps a node coordinate vector to the
+    cosmological parameter dict (identity for the native axes; the
+    w0wacdm path uses it to undo the s = w0 + wa transform).
+    """
 
     def solve_one(theta):
-        p = {"Om": theta[0]}
-        if ndim_p >= 2:
-            p["w0"] = theta[1]
-        if ndim_p >= 3:
-            p["wa"] = theta[2]
+        p = to_params(theta)
         a_grid, delta, ddelta = growth_solution(p, model, substeps=substeps)
         a_z = 1.0 / (1.0 + jnp.asarray(z_data))
         dd = jnp.interp(a_z, a_grid, ddelta)
         return a_z * dd / delta[-1]
 
-    # build-time: vmapped RK4 over all tensor nodes (batched, one scan)
-    table = np.asarray(
-        jax.vmap(solve_one)(jnp.asarray(flat_params))
-    ).reshape(*( [n_nodes] * ndim_p ), z_data.size)
+    return np.asarray(jax.vmap(solve_one)(jnp.asarray(flat_params)))
 
-    # The fsigma8 curves are smooth in z, so the [nodes..., Nz] table is
-    # very low-rank along z. A build-time truncated SVD (f64) factors it
-    # as table ~= A[nodes..., R] @ B[R, Nz]; the per-walker barycentric
-    # contraction then materialises a [W, nodes, R] intermediate instead
-    # of [W, nodes, Nz] — at 131072 walkers the rank-65 vs rank-12
-    # difference is ~2.4 ms/eval of pure HBM traffic (measured v5e,
-    # round 3: fs8 was 48% of the multiprobe joint at rank 65).
-    #
-    # Rank selection is spectral, not an energy threshold: the
-    # singular values decay spectrally (smooth curves) down to the
-    # table's own RK4/interp noise floor (~1e-8 relative) and then
-    # flatline — measured 2-D wzcdm: 1.1e-1, 3.3e-2, ... 6e-8, then
-    # ~50 values stuck at 1-2e-8. Keep every component above the
-    # floor, drop the flat noise tail (whose omission costs <= 4e-7
-    # elementwise, the same order as the table's own error vs the
-    # exact ODE); a Frobenius-tail cut at 1e-9 instead keeps rank
-    # 65/66 — measured round 3 as ~2.4 ms/eval of pure HBM traffic at
-    # 131072 walkers, 48% of the whole multiprobe joint. The
-    # <=1e-6 ODE-agreement contract (tests/test_growth_emulator.py)
-    # is asserted directly on the truncation below.
-    flat = table.reshape(-1, z_data.size)
+
+def _svd_factor(table, node_shape, nz):
+    """Truncated z-SVD of ``table`` [*node_shape, nz] -> (A_j, B_j).
+
+    The fsigma8 curves are smooth in z, so the [nodes..., Nz] table is
+    very low-rank along z: a build-time f64 SVD factors it as
+    table ~= A[nodes..., R] @ B[R, Nz]; the per-walker barycentric
+    contraction then materialises a [W, nodes, R] intermediate instead
+    of [W, nodes, Nz] — at 131072 walkers the rank-65 vs rank-12
+    difference is ~2.4 ms/eval of pure HBM traffic (measured v5e,
+    round 3: fs8 was 48% of the multiprobe joint at rank 65).
+
+    Rank selection is spectral, not an energy threshold: the singular
+    values decay spectrally (smooth curves) down to the table's own
+    RK4/interp noise floor (~1e-8 relative) and then flatline —
+    measured 2-D wzcdm: 1.1e-1, 3.3e-2, ... 6e-8, then ~50 values
+    stuck at 1-2e-8. Keep every component above the floor, drop the
+    flat noise tail (whose omission costs <= 4e-7 elementwise, the
+    same order as the table's own error vs the exact ODE); a
+    Frobenius-tail cut at 1e-9 instead keeps rank 65/66. The <=1e-6
+    ODE-agreement contract (tests/test_growth_emulator.py) is
+    asserted directly on the truncation below.
+
+    Returns ``(A_j, None)`` — the exact unfactored table — when
+    factorisation wouldn't pay (tiny grids), preserving exactness at
+    the Chebyshev nodes.
+    """
+    flat = table.reshape(-1, nz)
     u, s, vt = np.linalg.svd(flat, full_matrices=False)
     noise = s <= 2e-8 * s[0]
     rank = int(np.argmax(noise)) if noise.any() else s.size
@@ -115,41 +107,155 @@ def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4
     ):
         rank += 1
     if rank > min(flat.shape) // 2:
-        # factorisation wouldn't pay (tiny tables, e.g. few-node test
-        # grids) — keep the exact table; barycentric evaluation then
-        # stays exact at the Chebyshev nodes.
-        table_j = jnp.asarray(table)
-        b_j = None
-    else:
-        a_fac = (u[:, :rank] * s[:rank]).reshape(
-            *([n_nodes] * ndim_p), rank
+        return jnp.asarray(table), None
+    a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
+    return jnp.asarray(a_fac), jnp.asarray(vt[:rank])
+
+
+def _bary_vector(x, nodes, bw):
+    """Barycentric interpolation weight vector at scalar x."""
+    diff = x - nodes
+    near = jnp.abs(diff) < 1e-14
+    safe = jnp.where(near, 1.0, diff)
+    num = bw / safe
+    w = num / jnp.sum(num)
+    return jnp.where(jnp.any(near), near.astype(w.dtype), w)
+
+
+def _contract(weights, table_j, b_j):
+    """Sequential HIGHEST-precision barycentric tensor contraction."""
+    out = table_j
+    for w in weights:
+        out = jnp.tensordot(
+            w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
         )
-        table_j = jnp.asarray(a_fac)
-        b_j = jnp.asarray(vt[:rank])
+    if b_j is None:
+        return out
+    # expand the rank-R coefficients back onto the data redshifts
+    return jnp.tensordot(
+        out, b_j, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
+    )
+
+
+_MEMO = {}
+
+
+def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4):
+    """Returns ``fn(p) -> fsigma8(z_data) / sigma8`` (jittable).
+
+    Builds are memoised per (z grid, model, nodes, substeps, x64 flag)
+    — the w0wacdm table is 2 x 40^3 ODE solves, which the test suite
+    and multi-preset CLI sessions would otherwise repeat.
+    """
+    key = (
+        np.asarray(z_data, np.float64).tobytes(),
+        model,
+        n_nodes,
+        substeps,
+        bool(jax.config.jax_enable_x64),
+    )
+    if key not in _MEMO:
+        _MEMO[key] = _make_fs8_emulator(z_data, model, n_nodes, substeps)
+    return _MEMO[key]
+
+
+def _make_fs8_emulator(z_data, model, n_nodes, substeps):
+    if model == "w0wacdm":
+        return _make_fs8_emulator_w0wa(z_data, n_nodes, substeps)
+    pnames = MODEL_PARAMS[model]
+    ndim_p = len(pnames)
+    if n_nodes is None:
+        # worst |emulator - ODE| over the full domain: 5e-8 (1D/48),
+        # 5.9e-8 (2D/32). 24 nodes would still be accurate
+        # (1.4e-6 in 2D) but is measurably SLOWER on the MXU — the
+        # contraction pads to the same 128-lane tiles either way and the
+        # off-power-of-two layout loses ~20% (measured on the v5e), so
+        # 32 is both the accuracy and the speed optimum.
+        n_nodes = {1: 48, 2: 32}[ndim_p]
+    z_data = np.asarray(z_data, dtype=np.float64)
+
+    axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
+    grids = np.meshgrid(*axes, indexing="ij")
+    flat_params = np.stack([g.ravel() for g in grids], axis=1)  # [M, P]
+
+    # build-time: vmapped RK4 over all tensor nodes (batched, one scan)
+    table = _solve_table(
+        flat_params,
+        lambda theta: dict(zip(pnames, theta)),
+        model,
+        z_data,
+        substeps,
+    ).reshape(*([n_nodes] * ndim_p), z_data.size)
+
+    table_j, b_j = _svd_factor(table, [n_nodes] * ndim_p, z_data.size)
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
 
-    def bary_vector(x, nodes):
-        """Barycentric interpolation weight vector at scalar x."""
-        diff = x - nodes
-        near = jnp.abs(diff) < 1e-14
-        safe = jnp.where(near, 1.0, diff)
-        num = bw / safe
-        w = num / jnp.sum(num)
-        return jnp.where(jnp.any(near), near.astype(w.dtype), w)
+    def emulate(p):
+        weights = [
+            _bary_vector(p[name], nodes, bw)
+            for name, nodes in zip(pnames, axes_j)
+        ]
+        return _contract(weights, table_j, b_j)
+
+    return emulate
+
+
+def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
+    """w0wacdm emulator in (Om, wa, s = w0 + wa), s-axis split at 0.
+
+    A single Chebyshev box over (Om, w0, wa) converges only
+    algebraically for this family: the CPL equation of state has
+    w(z→∞) = w0 + wa, so along the plane w0 + wa = 0 the early
+    universe switches between DE-negligible and DE-dominated — a
+    boundary layer in the (w0, wa) plane that global polynomial
+    interpolation resolves poorly ANYWHERE in the box (measured worst
+    |rel| ~ 2e-3 at 32 nodes, ~3e-4 at 48, concentrated at
+    |w0+wa| < 0.4). Rotating the third axis to s = w0 + wa aligns the
+    layer with a coordinate plane, and splitting that axis at s = 0
+    puts it at an interval ENDPOINT of both halves — exactly where
+    Chebyshev nodes cluster — restoring spectral convergence:
+    measured worst |rel| over the preset prior hull is 2.1e-5 at 32
+    nodes/half and 1.3e-6 at the default 40 (vs 2e-3 for the
+    unrotated single box at the same cost). Evaluation contracts both
+    halves and selects by sign(s); the halves share the (Om, wa)
+    barycentric weights.
+    """
+    n_nodes = 40 if n_nodes is None else n_nodes
+    z_data = np.asarray(z_data, dtype=np.float64)
+    om_ax = _cheb_nodes(n_nodes, *DOMAINS["Om"])
+    wa_ax = _cheb_nodes(n_nodes, *DOMAINS["wa"])
+    s_bounds = (
+        DOMAINS["w0"][0] + DOMAINS["wa"][0],
+        DOMAINS["w0"][1] + DOMAINS["wa"][1],
+    )
+
+    halves = []
+    for s_dom in ((s_bounds[0], 0.0), (0.0, s_bounds[1])):
+        s_ax = _cheb_nodes(n_nodes, *s_dom)
+        grids = np.meshgrid(om_ax, wa_ax, s_ax, indexing="ij")
+        flat_params = np.stack([g.ravel() for g in grids], axis=1)
+        table = _solve_table(
+            flat_params,
+            lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
+            "w0wacdm",
+            z_data,
+            substeps,
+        ).reshape(n_nodes, n_nodes, n_nodes, z_data.size)
+        table_j, b_j = _svd_factor(table, [n_nodes] * 3, z_data.size)
+        halves.append((jnp.asarray(s_ax), table_j, b_j))
+
+    om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
+    bw = jnp.asarray(_bary_weights(n_nodes))
 
     def emulate(p):
-        import jax
-
-        out = table_j
-        for name, nodes in zip(pnames, axes_j):
-            w = bary_vector(p[name], nodes)
-            out = jnp.tensordot(
-                w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
-            )
-        if b_j is None:
-            return out
-        # expand the rank-R coefficients back onto the data redshifts
-        return jnp.tensordot(out, b_j, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
+        s = p["w0"] + p["wa"]
+        w_om = _bary_vector(p["Om"], om_j, bw)
+        w_wa = _bary_vector(p["wa"], wa_j, bw)
+        outs = [
+            _contract([w_om, w_wa, _bary_vector(s, s_ax, bw)], tj, bj)
+            for s_ax, tj, bj in halves
+        ]
+        return jnp.where(s <= 0.0, outs[0], outs[1])
 
     return emulate

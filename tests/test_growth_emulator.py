@@ -48,6 +48,21 @@ def test_emulator_factored_path_matches_ode(x64, model, params):
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-9)
 
 
+def test_w0wacdm_emulator_near_crease(x64):
+    # Regression: the CPL family's early-universe equation of state is
+    # w0 + wa, and the unrotated (Om, w0, wa) Chebyshev box converged
+    # only algebraically across the w0 + wa = 0 boundary layer (worst
+    # rel ~ 2.4e-3 exactly here). The split-axis build must hold the
+    # spectral contract at the old worst point and across the layer.
+    z = np.linspace(0.02, 1.944, 66)
+    emu = make_fs8_emulator(z, "w0wacdm")
+    for w0, wa in [(-0.3, 0.5), (-0.54, 0.9), (-0.3, 0.1), (-0.9, 0.9)]:
+        p = {"Om": 0.1, "w0": w0, "wa": wa, "sigma8": 1.0}
+        got = np.asarray(emu(p))
+        want = np.asarray(fsigma8(z, dict(p), "w0wacdm"))
+        np.testing.assert_allclose(got, want, rtol=5e-6, atol=1e-9)
+
+
 def test_emulator_exact_at_nodes(x64):
     from cosmax.models.growth_emulator import _cheb_nodes, DOMAINS
 
