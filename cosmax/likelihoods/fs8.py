@@ -53,22 +53,23 @@ def build_fs8_term(
     fid_denom = _fiducial_denominator(z, np.asarray(dataset.omega_fid))
 
     if fast_mode():
-        # Chebyshev growth emulator: spectral tensor interpolation in
-        # (Om, w0[, wa]) replaces the per-eval 999-step ODE scan
-        # (cosmax.models.growth_emulator; <=2e-6 agreement tested), and
-        # the AP comoving integrals share prefix panels over the sorted
-        # 66 data redshifts (528 E(z) evals/walker instead of 66x64).
-        from cosmax.models.growth_emulator import make_fs8_emulator
-        from cosmax.models.distances import make_prefix_comoving_integral
+        # Whitened rank-space chi^2 emulator: the Chebyshev growth
+        # emulator (spectral interpolation in Om, w0[, wa]; <=2e-6
+        # agreement with the ODE tested), the AP comoving integrals,
+        # the data multiply AND the covariance whitening are all folded
+        # into build-time factors, so the runtime is one barycentric
+        # tensor contraction plus a tiny rank-space axpy — no length-N
+        # intermediates per walker at all (growth_emulator.
+        # make_fs8_chi2_emulator; chi^2 agreement with the parity path
+        # asserted in tests/test_growth_emulator.py).
+        from cosmax.models.growth_emulator import make_fs8_chi2_emulator
 
-        emulator = make_fs8_emulator(z, model, substeps=ode_substeps)
-        prefix_integral = make_prefix_comoving_integral(z, model, order=8)
+        chi2_emu = make_fs8_chi2_emulator(
+            z, model, linv, fs8_obs, fid_denom, substeps=ode_substeps
+        )
 
-        def theory_fs8(p):
-            return p["sigma8"] * emulator(p)
-
-        def dm_integral(p):
-            return prefix_integral(p)
+        def raw_chi2(p):
+            return chi2_emu(p)
 
     else:
 
@@ -78,15 +79,18 @@ def build_fs8_term(
         def dm_integral(p):
             return comoving_integral_gl(z, p, model, order=gl_order)
 
-    def residual(p):
-        theory = theory_fs8(p)
-        e_model = e_of_z(jnp.asarray(z), p, model)
-        q = e_model * dm_integral(p) / fid_denom
-        return fs8_obs * q - theory
+        def residual(p):
+            theory = theory_fs8(p)
+            e_model = e_of_z(jnp.asarray(z), p, model)
+            q = e_model * dm_integral(p) / fid_denom
+            return fs8_obs * q - theory
+
+        def raw_chi2(p):
+            return chi2_from_whitener(linv, residual(p))
 
     def chi2(p):
         f = p[f_err_param] if f_err_param else 1.0
-        return chi2_from_whitener(linv, residual(p)) / f**2
+        return raw_chi2(p) / f**2
 
     def log_norm(p):
         if not f_err_param:

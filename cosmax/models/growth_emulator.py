@@ -51,13 +51,27 @@ def _bary_weights(n):
     return w
 
 
+_TABLE_MEMO = {}
+
+
 def _solve_table(flat_params, to_params, model, z_data, substeps):
     """ODE-solve fsigma8/sigma8 at every node of a flattened grid.
 
     ``to_params(theta) -> dict`` maps a node coordinate vector to the
     cosmological parameter dict (identity for the native axes; the
-    w0wacdm path uses it to undo the s = w0 + wa transform).
+    w0wacdm path uses it to undo the s = w0 + wa transform). Memoised
+    on the node grid so the value and whitened-chi2 emulators share one
+    set of ODE solves (the w0wacdm grid is 2 x 40^3 node solves).
     """
+    key = (
+        np.asarray(flat_params, np.float64).tobytes(),
+        model,
+        np.asarray(z_data, np.float64).tobytes(),
+        substeps,
+        bool(jax.config.jax_enable_x64),
+    )
+    if key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
 
     def solve_one(theta):
         p = to_params(theta)
@@ -66,7 +80,9 @@ def _solve_table(flat_params, to_params, model, z_data, substeps):
         dd = jnp.interp(a_z, a_grid, ddelta)
         return a_z * dd / delta[-1]
 
-    return np.asarray(jax.vmap(solve_one)(jnp.asarray(flat_params)))
+    out = np.asarray(jax.vmap(solve_one)(jnp.asarray(flat_params)))
+    _TABLE_MEMO[key] = out
+    return out
 
 
 def _svd_factor(table, node_shape, nz):
@@ -137,7 +153,201 @@ def _contract(weights, table_j, b_j):
     )
 
 
+def _edm_table(flat_params, to_params, model, z_data, order=64):
+    """E(z_i) * int_0^{z_i} dz'/E at every node of a flattened grid.
+
+    The AP-correction numerator (reference fs8/fs8.py:26-32,75) is a
+    smooth function of the same 1-3 parameters as the growth factor, so
+    it is tabulated on the same Chebyshev nodes (build-time vmapped GL,
+    order 64 — far beyond the runtime prefix-GL panels it replaces).
+    """
+    from cosmax.models.background import e_of_z
+    from cosmax.models.distances import comoving_integral_gl
+
+    z_j = jnp.asarray(z_data)
+
+    def one(theta):
+        p = to_params(theta)
+        return e_of_z(z_j, p, model) * comoving_integral_gl(
+            z_j, p, model, order=order
+        )
+
+    return np.asarray(jax.vmap(one)(jnp.asarray(flat_params)))
+
+
+def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
+    """Factor the stacked whitened node tables into the rank-space
+    chi^2 program chi2 = |Cu a - sigma8 Cv a|^2.
+
+    u_tab  [M, N]: Linv (obs * q) per node — the data side of the
+                   residual (linear in the emulated AP curve).
+    vw_tab [M, N]: Linv fsigma8/sigma8 per node — the theory side.
+
+    A build-time f64 SVD of the stacked [M, 2N] table gives the node
+    coefficient factor A [*node_shape, R]; an orthonormal basis Q of
+    the combined residual span (columns of Bu^T|Bv^T, dimension
+    m <= min(N, 2R)) rotates both sides into R^m without changing the
+    2-norm, so the runtime never materialises a length-N vector:
+    per walker it is one barycentric contraction to a [R], one
+    [R, 2m] matmul, and an axpy + square-reduce. Truncation is held to
+    <= 1e-6 * max|table| elementwise — the same relative contract as
+    the value emulator (tests assert the chi^2 agreement directly).
+    """
+    stacked = np.concatenate([u_tab, vw_tab], axis=1)  # [M, 2N]
+    u, s, vt = np.linalg.svd(stacked, full_matrices=False)
+    tol = 1e-6 * np.max(np.abs(stacked))
+    noise = s <= 2e-8 * s[0]
+    rank = int(np.argmax(noise)) if noise.any() else s.size
+    rank = max(rank, 1)
+    while (
+        rank < s.size
+        and np.max(np.abs((u[:, :rank] * s[:rank]) @ vt[:rank] - stacked))
+        > tol
+    ):
+        rank += 1
+    a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
+    b = vt[:rank]  # [R, 2N]
+    n = u_tab.shape[1]
+    bu, bv = b[:, :n], b[:, n:]
+    z = np.concatenate([bu.T, bv.T], axis=1)  # [N, 2R]
+    qu, qs, _ = np.linalg.svd(z, full_matrices=False)
+    m = max(int(np.sum(qs > 1e-12 * qs[0])), 1)
+    q = qu[:, :m]  # [N, m] orthonormal residual basis
+    cu = q.T @ bu.T  # [m, R]
+    cv = q.T @ bv.T
+    ct = np.concatenate([cu.T, cv.T], axis=1)  # [R, 2m]
+    return jnp.asarray(a_fac), jnp.asarray(ct), m
+
+
+def _chi2_from_block(weights, a_fac, ct, m, sigma8):
+    a = _contract(weights, a_fac, None)  # [R]
+    y = jnp.tensordot(a, ct, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
+    r = y[:m] - sigma8 * y[m:]
+    return jnp.sum(r * r)
+
+
 _MEMO = {}
+
+
+def make_fs8_chi2_emulator(
+    z_data,
+    model: str,
+    linv,
+    fs8_obs,
+    fid_denom,
+    n_nodes: int = None,
+    substeps: int = 4,
+):
+    """Returns ``fn(p) -> chi2`` for the whitened fs8 residual
+    ``Linv (fs8_obs * q(p) - sigma8 * fs8_theory(p)/sigma8)`` with the
+    whitening, AP correction and basis expansion all folded into
+    build-time factors (see :func:`_whitened_chi2_factor`). The f_err
+    rescaling stays in the likelihood term.
+
+    Memoised like :func:`make_fs8_emulator` (the w0wacdm build is
+    2 x 40^3 ODE solves + as many GL distance integrals).
+    """
+    z64 = np.asarray(z_data, np.float64)
+    linv64 = np.asarray(linv, np.float64)
+    obs64 = np.asarray(fs8_obs, np.float64)
+    fid64 = np.asarray(fid_denom, np.float64)
+    key = (
+        "chi2",
+        z64.tobytes(),
+        model,
+        n_nodes,
+        substeps,
+        bool(jax.config.jax_enable_x64),
+        linv64.tobytes(),
+        obs64.tobytes(),
+        fid64.tobytes(),
+    )
+    if key not in _MEMO:
+        _MEMO[key] = _make_fs8_chi2_emulator(
+            z64, model, linv64, obs64, fid64, n_nodes, substeps
+        )
+    return _MEMO[key]
+
+
+def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, substeps):
+    obs_over_fid = fs8_obs / fid_denom
+
+    def factor(flat_params, to_params, node_shape):
+        v_tab = _solve_table(flat_params, to_params, model, z_data, substeps)
+        q_tab = _edm_table(flat_params, to_params, model, z_data)
+        u_tab = (obs_over_fid * q_tab) @ linv.T
+        vw_tab = v_tab @ linv.T
+        return _whitened_chi2_factor(
+            np.asarray(u_tab, np.float64),
+            np.asarray(vw_tab, np.float64),
+            node_shape,
+        )
+
+    if model == "w0wacdm":
+        # split-axis treatment, same rationale as _make_fs8_emulator_w0wa
+        n_nodes = 40 if n_nodes is None else n_nodes
+        om_ax = _cheb_nodes(n_nodes, *DOMAINS["Om"])
+        wa_ax = _cheb_nodes(n_nodes, *DOMAINS["wa"])
+        s_bounds = (
+            DOMAINS["w0"][0] + DOMAINS["wa"][0],
+            DOMAINS["w0"][1] + DOMAINS["wa"][1],
+        )
+        halves = []
+        for s_dom in ((s_bounds[0], 0.0), (0.0, s_bounds[1])):
+            s_ax = _cheb_nodes(n_nodes, *s_dom)
+            grids = np.meshgrid(om_ax, wa_ax, s_ax, indexing="ij")
+            flat_params = np.stack([g.ravel() for g in grids], axis=1)
+            a_fac, ct, m = factor(
+                flat_params,
+                lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
+                [n_nodes] * 3,
+            )
+            halves.append((jnp.asarray(s_ax), a_fac, ct, m))
+
+        om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
+        bw = jnp.asarray(_bary_weights(n_nodes))
+
+        def chi2(p):
+            s = p["w0"] + p["wa"]
+            w_om = _bary_vector(p["Om"], om_j, bw)
+            w_wa = _bary_vector(p["wa"], wa_j, bw)
+            outs = [
+                _chi2_from_block(
+                    [w_om, w_wa, _bary_vector(s, s_ax, bw)],
+                    a_fac,
+                    ct,
+                    m,
+                    p["sigma8"],
+                )
+                for s_ax, a_fac, ct, m in halves
+            ]
+            return jnp.where(s <= 0.0, outs[0], outs[1])
+
+        return chi2
+
+    pnames = MODEL_PARAMS[model]
+    ndim_p = len(pnames)
+    if n_nodes is None:
+        n_nodes = {1: 48, 2: 32}[ndim_p]
+    axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
+    grids = np.meshgrid(*axes, indexing="ij")
+    flat_params = np.stack([g.ravel() for g in grids], axis=1)
+    a_fac, ct, m = factor(
+        flat_params,
+        lambda theta: dict(zip(pnames, theta)),
+        [n_nodes] * ndim_p,
+    )
+    axes_j = [jnp.asarray(ax) for ax in axes]
+    bw = jnp.asarray(_bary_weights(n_nodes))
+
+    def chi2(p):
+        weights = [
+            _bary_vector(p[name], nodes, bw)
+            for name, nodes in zip(pnames, axes_j)
+        ]
+        return _chi2_from_block(weights, a_fac, ct, m, p["sigma8"])
+
+    return chi2
 
 
 def make_fs8_emulator(z_data, model: str, n_nodes: int = None, substeps: int = 4):

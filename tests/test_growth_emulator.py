@@ -83,3 +83,46 @@ def test_fast_fs8_term_matches_parity(x64):
     a = float(sum(fast.chi2_breakdown()(theta).values()))
     b = float(sum(slow.chi2_breakdown()(theta).values()))
     assert a == pytest.approx(b, abs=1e-4)
+
+
+def test_fast_fs8_term_matches_parity_wzcdm(x64):
+    # The whitened rank-space chi2 emulator (make_fs8_chi2_emulator)
+    # folds AP correction, data multiply and covariance whitening into
+    # build-time factors; its only approximations are the Chebyshev
+    # interpolation and the 1e-6-relative SVD truncations, so fast chi2
+    # must match the parity path (direct ODE + GL-64 AP + explicit
+    # whitening) at reference-discriminating accuracy.
+    from cosmax.configs import get_preset
+
+    fast = get_preset("fs8.fs8", "wzcdm", fast=True)
+    slow = get_preset("fs8.fs8", "wzcdm")
+    for theta in [
+        np.array([0.268, 0.789, -1.1, 0.78]),
+        np.array([0.45, 0.65, -0.4, 1.2]),
+        np.array([0.15, 1.1, -2.2, 0.3]),
+    ]:
+        a = float(sum(fast.chi2_breakdown()(theta).values()))
+        b = float(sum(slow.chi2_breakdown()(theta).values()))
+        # abs 1e-3 near the posterior bulk (chi2 ~ tens); at extreme
+        # domain corners chi2 grows to ~1e4 and the 1e-6-relative
+        # truncation contract is the binding one.
+        assert a == pytest.approx(b, rel=1e-6, abs=1e-3), theta
+
+
+def test_fast_fs8_term_matches_parity_w0wacdm_crease(x64):
+    # w0wacdm goes through the split-axis chi2 build; pin the contract
+    # at the old single-box worst point (the w0 + wa ~ 0 boundary
+    # layer, see _make_fs8_emulator_w0wa).
+    from cosmax.configs import get_preset
+
+    fast = get_preset("fs8.fs8", "w0wacdm", fast=True)
+    slow = get_preset("fs8.fs8", "w0wacdm")
+    for om, s8, w0, wa, f in [
+        (0.268, 0.789, -0.7, -0.9, 0.78),
+        (0.1, 0.9, -0.54, 0.5, 1.0),
+        (0.3, 0.8, -0.3, 0.3, 0.6),
+    ]:
+        theta = np.array([om, s8, w0, wa, f])
+        a = float(sum(fast.chi2_breakdown()(theta).values()))
+        b = float(sum(slow.chi2_breakdown()(theta).values()))
+        assert a == pytest.approx(b, rel=1e-6, abs=1e-3), theta
