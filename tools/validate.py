@@ -403,6 +403,11 @@ def main(argv=None):
                          "--only and a scratch --out; the committed "
                          "VALIDATION.md is the ensemble sweep)")
     args = ap.parse_args(argv)
+    if args.only and args.out == "VALIDATION.md":
+        # a partial sweep must not clobber the committed full table
+        args.out = "VALIDATION.partial.md"
+        print(f"--only given: writing {args.out} instead of VALIDATION.md",
+              flush=True)
 
     results = []
     for case in CASES:
