@@ -107,9 +107,11 @@ def _svd_factor(table, node_shape, nz):
     ODE-agreement contract (tests/test_growth_emulator.py) is
     asserted directly on the truncation below.
 
-    Returns ``(A_j, None)`` — the exact unfactored table — when
+    Returns ``(None, A_j, None)`` — the exact unfactored table — when
     factorisation wouldn't pay (tiny grids), preserving exactness at
-    the Chebyshev nodes.
+    the Chebyshev nodes. Otherwise the rank-R coefficient table is
+    further HOSVD-compressed along the parameter axes
+    (:func:`_tucker`), returning ``(factors, core, B)``.
     """
     flat = table.reshape(-1, nz)
     u, s, vt = np.linalg.svd(flat, full_matrices=False)
@@ -123,9 +125,109 @@ def _svd_factor(table, node_shape, nz):
     ):
         rank += 1
     if rank > min(flat.shape) // 2:
-        return jnp.asarray(table), None
+        return None, jnp.asarray(table), None
     a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
-    return jnp.asarray(a_fac), jnp.asarray(vt[:rank])
+    # half the z-SVD loop's absolute tolerance (values O(1)), verified
+    # in data space through the same z basis, so the composed error
+    # stays within ~1.5x the tested single-cut contract
+    factors, core = _tucker(a_fac, node_shape, 5e-7, proj=vt[:rank])
+    return factors, core, jnp.asarray(vt[:rank])
+
+
+def _tucker(table, node_shape, tol, proj=None):
+    """HOSVD-compress ``table`` [*node_shape, R] along the parameter axes.
+
+    The barycentric evaluation contracts weight vectors against the FULL
+    node grid, so its per-eval cost is O(prod(node_shape) * R) — 32^2*R
+    for wzcdm and 2 x 40^3 * R for the split-axis w0wacdm build, which
+    dominates the whole multiprobe joint (XLA cost analysis, round 3).
+    But the same spectral smoothness that makes Chebyshev interpolation
+    converge makes the table's mode-i unfoldings low-rank: a build-time
+    f64 HOSVD factors it as table ~= core x_i U_i with per-axis ranks
+    r_i ~ 10-15 << n_i, so evaluation becomes k tiny [n_i, r_i] weight
+    projections plus an O(prod(r_i) * R) core contraction — an order of
+    magnitude fewer flops and HBM bytes at identical accuracy.
+
+    Rank selection mirrors :func:`_svd_factor`: start each axis at its
+    unfolding's spectral noise floor, then grow ranks (largest tail
+    first) until the reconstruction matches ``table`` elementwise to
+    the caller's ``tol`` — each caller passes the SAME absolute
+    tolerance its own z-SVD truncation is held to, so Tucker can at
+    most double the already-tested truncation error. The error is
+    verified in the caller's DATA space: ``proj`` [R, N] is the z-SVD
+    basis the coefficients are contracted with at runtime, and
+    checking ``(rec - table) @ proj`` is both the quantity the
+    contract is stated on and materially more reachable — the rank-R
+    coefficient table concentrates the table's own incompressible
+    RK4/GL noise (measured 4.5e-5 absolute on the whitened wzcdm chi2
+    coefficients vs tol 2.3e-5), while the orthonormal basis rows
+    spread it back below tol in data space.
+    Returns ``(None, table_j)`` when compression wouldn't pay.
+    """
+    k = len(node_shape)
+    tab64 = np.asarray(table, np.float64)
+    proj64 = None if proj is None else np.asarray(proj, np.float64)
+
+    def err(delta):
+        if proj64 is not None:
+            delta = delta.reshape(-1, delta.shape[-1]) @ proj64
+        return np.max(np.abs(delta))
+
+    svds = []
+    for ax in range(k):
+        mat = np.moveaxis(tab64, ax, 0).reshape(node_shape[ax], -1)
+        u, s, _ = np.linalg.svd(mat, full_matrices=False)
+        # mode-unfolding spectra decay spectrally to the table's own
+        # RK4/GL noise flatline at ~8e-8 RELATIVE (measured, wzcdm
+        # chi2 table) — above the 2e-8 criterion the z-SVD uses — so
+        # start at 1e-7 and let the elementwise loop below grow ranks
+        # if that undershoots.
+        noise = s <= 1e-7 * s[0]
+        r = int(np.argmax(noise)) if noise.any() else s.size
+        svds.append((u, s, max(r, 1)))
+
+    def reconstruct(ranks):
+        core = tab64
+        for ax in range(k):
+            u = svds[ax][0][:, : ranks[ax]]
+            core = np.moveaxis(
+                np.tensordot(u.T, np.moveaxis(core, ax, 0), axes=1), 0, ax
+            )
+        rec = core
+        for ax in range(k):
+            u = svds[ax][0][:, : ranks[ax]]
+            rec = np.moveaxis(
+                np.tensordot(u, np.moveaxis(rec, ax, 0), axes=1), 0, ax
+            )
+        return core, rec
+
+    ranks = [r for _, _, r in svds]
+    while True:
+        core, rec = reconstruct(ranks)
+        if err(rec - tab64) <= tol:
+            break
+        growable = [ax for ax in range(k) if ranks[ax] < node_shape[ax]]
+        if not growable:
+            break
+        # grow the axis with the largest discarded singular value
+        ax = max(growable, key=lambda a: svds[a][1][ranks[a]]
+                 if ranks[a] < svds[a][1].size else -np.inf)
+        ranks[ax] += 1
+
+    if np.prod(ranks) * 2 > np.prod(node_shape):
+        return None, jnp.asarray(table)
+    factors = [jnp.asarray(svds[ax][0][:, : ranks[ax]]) for ax in range(k)]
+    return factors, jnp.asarray(core)
+
+
+def _project_weights(weights, factors):
+    """Rotate barycentric weight vectors into the Tucker row spaces."""
+    if factors is None:
+        return weights
+    return [
+        jnp.tensordot(u, w, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
+        for w, u in zip(weights, factors)
+    ]
 
 
 def _bary_vector(x, nodes, bw):
@@ -216,11 +318,15 @@ def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
     cu = q.T @ bu.T  # [m, R]
     cv = q.T @ bv.T
     ct = np.concatenate([cu.T, cv.T], axis=1)  # [R, 2m]
-    return jnp.asarray(a_fac), jnp.asarray(ct), m
+    # half the z-cut budget so the composed truncation stays within
+    # ~1.5x the tested single-cut contract (the w0wacdm crease parity
+    # test sits right at the boundary at full budget)
+    factors, core = _tucker(a_fac, node_shape, 0.5 * tol, proj=b)
+    return factors, core, jnp.asarray(ct), m
 
 
-def _chi2_from_block(weights, a_fac, ct, m, sigma8):
-    a = _contract(weights, a_fac, None)  # [R]
+def _chi2_from_block(weights, factors, core, ct, m, sigma8):
+    a = _contract(_project_weights(weights, factors), core, None)  # [R]
     y = jnp.tensordot(a, ct, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
     r = y[:m] - sigma8 * y[m:]
     return jnp.sum(r * r)
@@ -297,12 +403,12 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             s_ax = _cheb_nodes(n_nodes, *s_dom)
             grids = np.meshgrid(om_ax, wa_ax, s_ax, indexing="ij")
             flat_params = np.stack([g.ravel() for g in grids], axis=1)
-            a_fac, ct, m = factor(
+            factors, core, ct, m = factor(
                 flat_params,
                 lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
                 [n_nodes] * 3,
             )
-            halves.append((jnp.asarray(s_ax), a_fac, ct, m))
+            halves.append((jnp.asarray(s_ax), factors, core, ct, m))
 
         om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
         bw = jnp.asarray(_bary_weights(n_nodes))
@@ -314,12 +420,13 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             outs = [
                 _chi2_from_block(
                     [w_om, w_wa, _bary_vector(s, s_ax, bw)],
-                    a_fac,
+                    factors,
+                    core,
                     ct,
                     m,
                     p["sigma8"],
                 )
-                for s_ax, a_fac, ct, m in halves
+                for s_ax, factors, core, ct, m in halves
             ]
             return jnp.where(s <= 0.0, outs[0], outs[1])
 
@@ -332,7 +439,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
     grids = np.meshgrid(*axes, indexing="ij")
     flat_params = np.stack([g.ravel() for g in grids], axis=1)
-    a_fac, ct, m = factor(
+    factors, core, ct, m = factor(
         flat_params,
         lambda theta: dict(zip(pnames, theta)),
         [n_nodes] * ndim_p,
@@ -345,7 +452,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             _bary_vector(p[name], nodes, bw)
             for name, nodes in zip(pnames, axes_j)
         ]
-        return _chi2_from_block(weights, a_fac, ct, m, p["sigma8"])
+        return _chi2_from_block(weights, factors, core, ct, m, p["sigma8"])
 
     return chi2
 
@@ -397,7 +504,7 @@ def _make_fs8_emulator(z_data, model, n_nodes, substeps):
         substeps,
     ).reshape(*([n_nodes] * ndim_p), z_data.size)
 
-    table_j, b_j = _svd_factor(table, [n_nodes] * ndim_p, z_data.size)
+    factors, table_j, b_j = _svd_factor(table, [n_nodes] * ndim_p, z_data.size)
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
 
@@ -406,7 +513,7 @@ def _make_fs8_emulator(z_data, model, n_nodes, substeps):
             _bary_vector(p[name], nodes, bw)
             for name, nodes in zip(pnames, axes_j)
         ]
-        return _contract(weights, table_j, b_j)
+        return _contract(_project_weights(weights, factors), table_j, b_j)
 
     return emulate
 
@@ -452,8 +559,8 @@ def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
             z_data,
             substeps,
         ).reshape(n_nodes, n_nodes, n_nodes, z_data.size)
-        table_j, b_j = _svd_factor(table, [n_nodes] * 3, z_data.size)
-        halves.append((jnp.asarray(s_ax), table_j, b_j))
+        factors, table_j, b_j = _svd_factor(table, [n_nodes] * 3, z_data.size)
+        halves.append((jnp.asarray(s_ax), factors, table_j, b_j))
 
     om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
     bw = jnp.asarray(_bary_weights(n_nodes))
@@ -463,8 +570,14 @@ def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
         w_om = _bary_vector(p["Om"], om_j, bw)
         w_wa = _bary_vector(p["wa"], wa_j, bw)
         outs = [
-            _contract([w_om, w_wa, _bary_vector(s, s_ax, bw)], tj, bj)
-            for s_ax, tj, bj in halves
+            _contract(
+                _project_weights(
+                    [w_om, w_wa, _bary_vector(s, s_ax, bw)], fs
+                ),
+                tj,
+                bj,
+            )
+            for s_ax, fs, tj, bj in halves
         ]
         return jnp.where(s <= 0.0, outs[0], outs[1])
 

@@ -104,9 +104,11 @@ def test_fast_fs8_term_matches_parity_wzcdm(x64):
         a = float(sum(fast.chi2_breakdown()(theta).values()))
         b = float(sum(slow.chi2_breakdown()(theta).values()))
         # abs 1e-3 near the posterior bulk (chi2 ~ tens); at extreme
-        # domain corners chi2 grows to ~1e4 and the 1e-6-relative
-        # truncation contract is the binding one.
-        assert a == pytest.approx(b, rel=1e-6, abs=1e-3), theta
+        # domain corners chi2 grows to ~1e4 and the truncation
+        # contract binds: the z-SVD + Tucker cuts compose to ~1.5e-6
+        # of the whitened table and the quadratic form doubles the
+        # relative error (d chi2 / chi2 = 2 dy/y), so 3e-6.
+        assert a == pytest.approx(b, rel=3e-6, abs=1e-3), theta
 
 
 def test_fast_fs8_term_matches_parity_w0wacdm_crease(x64):
@@ -125,4 +127,5 @@ def test_fast_fs8_term_matches_parity_w0wacdm_crease(x64):
         theta = np.array([om, s8, w0, wa, f])
         a = float(sum(fast.chi2_breakdown()(theta).values()))
         b = float(sum(slow.chi2_breakdown()(theta).values()))
-        assert a == pytest.approx(b, rel=1e-6, abs=1e-3), theta
+        # rel tolerance: see test_fast_fs8_term_matches_parity_wzcdm
+        assert a == pytest.approx(b, rel=3e-6, abs=1e-3), theta
