@@ -127,14 +127,13 @@ def _svd_factor(table, node_shape, nz):
     if rank > min(flat.shape) // 2:
         return None, jnp.asarray(table), None
     a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
-    # half the z-SVD loop's absolute tolerance (values O(1)), verified
-    # in data space through the same z basis, so the composed error
-    # stays within ~1.5x the tested single-cut contract
-    factors, core = _tucker(a_fac, node_shape, 5e-7, proj=vt[:rank])
+    # composed Tucker + z-cut held to the SAME 1e-6 absolute contract
+    # as the z-SVD loop above, verified against the original table
+    factors, core = _tucker(a_fac, node_shape, 1e-6, proj=vt[:rank], ref=flat)
     return factors, core, jnp.asarray(vt[:rank])
 
 
-def _tucker(table, node_shape, tol, proj=None):
+def _tucker(table, node_shape, tol, proj, ref):
     """HOSVD-compress ``table`` [*node_shape, R] along the parameter axes.
 
     The barycentric evaluation contracts weight vectors against the FULL
@@ -150,28 +149,26 @@ def _tucker(table, node_shape, tol, proj=None):
 
     Rank selection mirrors :func:`_svd_factor`: start each axis at its
     unfolding's spectral noise floor, then grow ranks (largest tail
-    first) until the reconstruction matches ``table`` elementwise to
-    the caller's ``tol`` — each caller passes the SAME absolute
-    tolerance its own z-SVD truncation is held to, so Tucker can at
-    most double the already-tested truncation error. The error is
-    verified in the caller's DATA space: ``proj`` [R, N] is the z-SVD
-    basis the coefficients are contracted with at runtime, and
-    checking ``(rec - table) @ proj`` is both the quantity the
-    contract is stated on and materially more reachable — the rank-R
-    coefficient table concentrates the table's own incompressible
-    RK4/GL noise (measured 4.5e-5 absolute on the whitened wzcdm chi2
-    coefficients vs tol 2.3e-5), while the orthonormal basis rows
-    spread it back below tol in data space.
+    first) until the COMPOSED approximation — Tucker reconstruction
+    expanded through the caller's z basis ``proj`` [R, N] — matches
+    the caller's ORIGINAL data-space table ``ref`` [M, N] elementwise
+    to the single ``tol`` its z-SVD truncation is held to. Verifying
+    the composition end-to-end (rather than Tucker-vs-coefficients
+    with a split budget) matters twice over: the rank-R coefficient
+    table concentrates the table's own incompressible RK4/GL noise
+    (measured 4.5e-5 absolute vs tol 2.3e-5 on the whitened wzcdm
+    chi2 coefficients — unreachable elementwise), and near the noise
+    floor each 2x tolerance split inflates ranks ~2x (measured
+    (12,13) -> (22,22)) chasing noise the z basis averages away.
     Returns ``(None, table_j)`` when compression wouldn't pay.
     """
     k = len(node_shape)
     tab64 = np.asarray(table, np.float64)
-    proj64 = None if proj is None else np.asarray(proj, np.float64)
+    proj64 = np.asarray(proj, np.float64)
+    ref64 = np.asarray(ref, np.float64)
 
-    def err(delta):
-        if proj64 is not None:
-            delta = delta.reshape(-1, delta.shape[-1]) @ proj64
-        return np.max(np.abs(delta))
+    def err(rec):
+        return np.max(np.abs(rec.reshape(-1, rec.shape[-1]) @ proj64 - ref64))
 
     svds = []
     for ax in range(k):
@@ -204,7 +201,7 @@ def _tucker(table, node_shape, tol, proj=None):
     ranks = [r for _, _, r in svds]
     while True:
         core, rec = reconstruct(ranks)
-        if err(rec - tab64) <= tol:
+        if err(rec) <= tol:
             break
         growable = [ax for ax in range(k) if ranks[ax] < node_shape[ax]]
         if not growable:
@@ -318,10 +315,9 @@ def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
     cu = q.T @ bu.T  # [m, R]
     cv = q.T @ bv.T
     ct = np.concatenate([cu.T, cv.T], axis=1)  # [R, 2m]
-    # half the z-cut budget so the composed truncation stays within
-    # ~1.5x the tested single-cut contract (the w0wacdm crease parity
-    # test sits right at the boundary at full budget)
-    factors, core = _tucker(a_fac, node_shape, 0.5 * tol, proj=b)
+    # composed Tucker + z-cut held to the SAME contract as the z-cut
+    # alone, verified against the original stacked table
+    factors, core = _tucker(a_fac, node_shape, tol, proj=b, ref=stacked)
     return factors, core, jnp.asarray(ct), m
 
 
