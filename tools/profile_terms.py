@@ -24,6 +24,13 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--fast", action="store_true", default=True)
     ap.add_argument("--parity", dest="fast", action="store_false")
+    ap.add_argument(
+        "--cost",
+        action="store_true",
+        help="attribute XLA cost-analysis flops/bytes per term instead of "
+        "wall time (platform-independent; this is how the fs8 Tucker cut "
+        "was found — see ARCHITECTURE.md roofline section)",
+    )
     args = ap.parse_args(argv)
 
     from dataclasses import replace
@@ -56,6 +63,28 @@ def main(argv=None):
             out = lp(walkers)
         np.asarray(out)
         return (time.perf_counter() - t0) / args.iters
+
+    if args.cost:
+        def cost(fit):
+            lp = jax.jit(jax.vmap(fit.log_prob()))
+            c = lp.lower(walkers).compile().cost_analysis()
+            return c.get("flops", 0) / w, c.get("bytes accessed", 0) / w
+
+        f_full, b_full = cost(fit_full)
+        print(
+            f"full ({len(fit_full.terms)} terms): "
+            f"{f_full:.0f} flops/eval, {b_full:.0f} logical bytes/eval"
+        )
+        for term in fit_full.terms:
+            rest = tuple(t for t in fit_full.terms if t is not term)
+            f_wo, b_wo = cost(replace(fit_full, terms=rest))
+            print(
+                f"  {term.name:12s}: {f_full - f_wo:9.0f} flops "
+                f"({100 * (f_full - f_wo) / f_full:5.1f}%)  "
+                f"{b_full - b_wo:8.0f} bytes "
+                f"({100 * (b_full - b_wo) / b_full:5.1f}%)"
+            )
+        return
 
     t_full = bench(fit_full)
     print(
