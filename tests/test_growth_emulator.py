@@ -74,6 +74,40 @@ def test_emulator_exact_at_nodes(x64):
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_tucker_compresses_smooth_tables_not_noise(x64):
+    # _tucker must (a) find small per-axis ranks on a spectrally
+    # smooth table, (b) hold the COMPOSED data-space error to tol,
+    # and (c) not chase incompressible noise below the floor — it
+    # falls back to the exact table when tol is unreachable.
+    from cosmax.models.growth_emulator import _tucker
+
+    rng = np.random.default_rng(0)
+    n, R, N = 32, 6, 40
+    x = np.linspace(-1, 1, n)
+    # separable smooth factors -> per-axis rank ~ a few
+    modes_a = np.stack([np.exp(-(k + 1) * x**2) for k in range(R)], axis=1)
+    modes_b = np.stack([np.cos((k + 1) * x) for k in range(R)], axis=1)
+    table = np.einsum("ik,jk->ijk", modes_a, modes_b)  # [n, n, R]
+    proj = np.linalg.qr(rng.standard_normal((N, R)))[0].T  # [R, N]
+    ref = table.reshape(-1, R) @ proj
+
+    factors, core = _tucker(table, (n, n), 1e-6, proj=proj, ref=ref)
+    assert factors is not None
+    r1, r2 = factors[0].shape[1], factors[1].shape[1]
+    assert r1 <= 10 and r2 <= 10, (r1, r2)
+    rec = np.einsum("ia,jb,abk->ijk", *[np.asarray(f) for f in factors],
+                    np.asarray(core))
+    err = np.max(np.abs(rec.reshape(-1, R) @ proj - ref))
+    assert err <= 1e-6
+
+    # full-rank noise: tol unreachable -> exact-table fallback
+    noisy = rng.standard_normal(table.shape)
+    ref_n = noisy.reshape(-1, R) @ proj
+    factors_n, core_n = _tucker(noisy, (n, n), 1e-6, proj=proj, ref=ref_n)
+    assert factors_n is None
+    np.testing.assert_array_equal(np.asarray(core_n), noisy)
+
+
 def test_fast_fs8_term_matches_parity(x64):
     from cosmax.configs import get_preset
 
