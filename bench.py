@@ -106,6 +106,14 @@ def main(argv=None):
     ap.add_argument("--config", default="flagship", choices=sorted(CONFIGS))
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument(
+        "--model",
+        default="wzcdm",
+        choices=["lcdm", "wcdm", "wzcdm", "w0wacdm"],
+        help="dark-energy family for the benched joint (default wzcdm, "
+        "the reference flagship's; w0wacdm exercises the split-axis "
+        "Tucker-compressed fs8 emulator on multiprobe/lockstep)",
+    )
+    ap.add_argument(
         "--prng",
         default=None,
         choices=["threefry2x32", "rbg", "unsafe_rbg"],
@@ -129,11 +137,11 @@ def main(argv=None):
 
     from cosmax.configs import get_preset
 
-    fit = get_preset(preset_name, model="wzcdm", fast=True)
+    fit = get_preset(preset_name, model=args.model, fast=True)
     if args.config == "hmc":
-        return _bench_hmc(fit, n_walkers)
+        return _bench_hmc(fit, n_walkers, args.model)
     if args.config == "lockstep":
-        return _bench_lockstep(fit, n_walkers)
+        return _bench_lockstep(fit, n_walkers, args.model)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
     rng = np.random.default_rng(0)
@@ -173,12 +181,13 @@ def main(argv=None):
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / 1.0e6, 3),
+        "model": args.model,
     }
     rec.update(_roofline_fields(flops, nbytes, dt / n_iters, n_walkers))
     print(json.dumps(rec))
 
 
-def _bench_lockstep(fit, n_walkers):
+def _bench_lockstep(fit, n_walkers, model):
     """North-star scale config (BASELINE.json): 1e5+ lockstep walkers
     advanced THROUGH the ensemble sampler on the full multiprobe joint.
     Reported as walker-steps/s: one unit = one walker advanced one
@@ -218,6 +227,7 @@ def _bench_lockstep(fit, n_walkers):
         "value": round(steps_per_sec, 1),
         "unit": "walker-steps/s",
         "vs_baseline": round(steps_per_sec / 1.0e6, 3),
+        "model": model,
         "n_walkers": n_walkers,
         "acceptance": round(float(chain.acceptance_fraction), 3),
     }
@@ -232,7 +242,7 @@ def _bench_lockstep(fit, n_walkers):
     print(json.dumps(rec))
 
 
-def _bench_hmc(fit, n_chains):
+def _bench_hmc(fit, n_chains, model):
     """Effective (near-independent) posterior draws/sec with the
     gradient-based sampler on the flagship joint. Adaptation runs
     once; the timed segment is the steady-state fixed-parameter path."""
@@ -272,6 +282,7 @@ def _bench_hmc(fit, n_chains):
                 "value": round(ess_per_sec, 1),
                 "unit": "eff samples/s",
                 "vs_baseline": round(ess_per_sec / 1.0e6, 3),
+                "model": model,
                 "tau": round(tau, 2),
                 "accept": round(float(chain.acceptance_fraction), 3),
             }
