@@ -107,11 +107,12 @@ def _svd_factor(table, node_shape, nz):
     ODE-agreement contract (tests/test_growth_emulator.py) is
     asserted directly on the truncation below.
 
-    Returns ``(None, A_j, None)`` — the exact unfactored table — when
-    factorisation wouldn't pay (tiny grids), preserving exactness at
-    the Chebyshev nodes. Otherwise the rank-R coefficient table is
-    further HOSVD-compressed along the parameter axes
-    (:func:`_tucker`), returning ``(factors, core, B)``.
+    Returns ``(("exact", A_j), None)`` — the exact unfactored table —
+    when factorisation wouldn't pay (tiny grids), preserving exactness
+    at the Chebyshev nodes. Otherwise the rank-R coefficient table is
+    further compressed along the parameter axes (:func:`_compress`:
+    TT for >= 3 axes, Tucker HOSVD otherwise), returning
+    ``(rep, B)``.
     """
     flat = table.reshape(-1, nz)
     u, s, vt = np.linalg.svd(flat, full_matrices=False)
@@ -125,12 +126,13 @@ def _svd_factor(table, node_shape, nz):
     ):
         rank += 1
     if rank > min(flat.shape) // 2:
-        return None, jnp.asarray(table), None
+        return ("exact", jnp.asarray(table)), None
     a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
-    # composed Tucker + z-cut held to the SAME 1e-6 absolute contract
-    # as the z-SVD loop above, verified against the original table
-    factors, core = _tucker(a_fac, node_shape, 1e-6, proj=vt[:rank], ref=flat)
-    return factors, core, jnp.asarray(vt[:rank])
+    # composed parameter-axis cut + z-cut held to the SAME 1e-6
+    # absolute contract as the z-SVD loop above, verified against the
+    # original table
+    rep = _compress(a_fac, node_shape, 1e-6, proj=vt[:rank], ref=flat)
+    return rep, jnp.asarray(vt[:rank])
 
 
 def _tucker(table, node_shape, tol, proj, ref):
@@ -217,14 +219,201 @@ def _tucker(table, node_shape, tol, proj, ref):
     return factors, jnp.asarray(core)
 
 
-def _project_weights(weights, factors):
-    """Rotate barycentric weight vectors into the Tucker row spaces."""
+def _tt(table, node_shape, tol, proj, ref):
+    """TT-SVD (tensor train) of ``table`` [*node_shape, R] along the
+    parameter axes, for grids with >= 3 of them.
+
+    Tucker evaluation must touch every core entry once, so its cost is
+    2 * prod(r_i) * R — for the w0wacdm split-axis build that is still
+    ~200k flops per half even at ranks ~15 (measured 773k flops/eval
+    total). A tensor train never materialises the full core: evaluation
+    sweeps v <- v @ (w_i . G_i) through [r_{i-1}, n_i, r_i] cores, so
+    the cost is sum 2 * n * r_{i-1} * r_i — linear in the number of
+    axes instead of exponential. (For k <= 2 the sweep degenerates to
+    cost 2*n*r1*r2 > Tucker's 2*r1*r2*R whenever R < n, so Tucker
+    stays the 2-D representation.)
+
+    Bond ranks are ranks of SEQUENTIAL unfoldings, so the axis ORDER
+    matters a great deal (measured on the phantom-side w0wacdm half:
+    middle bond 87 in (Om, wa, s) order). The order is chosen first by
+    a cheap estimate — singular-value-only SVDs of every single-axis
+    and axis-pair unfolding give each permutation's bond ranks without
+    building anything — then the best order is built in two stages,
+    both under the composed-verification contract of :func:`_tucker`
+    (reconstruction expanded through the caller's z basis ``proj`` vs
+    the caller's original data-space table ``ref``, absolute ``tol``):
+    (1) a global relative truncation eps halved from the spectral
+    noise floor until feasible; (2) a per-bond binary search that
+    shrinks each bond to the smallest rank that still verifies.
+    Returns None if tol is unreachable or compression wouldn't pay.
+    """
+    from itertools import permutations
+
+    k = len(node_shape)
+    tab0 = np.asarray(table, np.float64)
+    nz = tab0.shape[-1]
+    proj64 = np.asarray(proj, np.float64)
+    ref64 = np.asarray(ref, np.float64)
+
+    def est_rank(axes_front):
+        mat = np.transpose(
+            tab0,
+            tuple(axes_front)
+            + tuple(a for a in range(k) if a not in axes_front)
+            + (k,),
+        ).reshape(int(np.prod([node_shape[a] for a in axes_front])), -1)
+        s = np.linalg.svd(mat, compute_uv=False)
+        return max(int(np.sum(s > 1e-7 * s[0])), 1)
+
+    singles = {(a,): est_rank((a,)) for a in range(k)}
+    pairs = {}
+    best_perm, best_cost = None, np.inf
+    for perm in permutations(range(k)):
+        bonds = []
+        for cut in range(1, k):
+            front = tuple(sorted(perm[:cut]))
+            if len(front) == 1:
+                bonds.append(singles[front])
+            else:
+                if front not in pairs:
+                    pairs[front] = est_rank(front)
+                bonds.append(pairs[front])
+        n = [node_shape[a] for a in perm]
+        cost = 2 * n[0] * bonds[0] + 2 * bonds[-1] * nz
+        for i in range(1, k):
+            r_in = bonds[i - 1]
+            r_out = bonds[i] if i < k - 1 else min(bonds[-1] * n[-1], nz)
+            cost += 2 * n[i] * r_in * r_out
+        if cost < best_cost:
+            best_perm, best_cost = perm, cost
+
+    perm = best_perm
+    tab64 = np.ascontiguousarray(np.transpose(tab0, perm + (k,)))
+    shape_p = [node_shape[a] for a in perm]
+
+    def build(eps, caps):
+        cores = []
+        carry = tab64.reshape(shape_p[0], -1)
+        r_prev = 1
+        for i in range(k):
+            mat = carry if i == 0 else carry.reshape(r_prev * shape_p[i], -1)
+            u, s, vt = np.linalg.svd(mat, full_matrices=False)
+            r = max(int(np.sum(s > eps * s[0])), 1)
+            if caps is not None:
+                r = min(r, caps[i])
+            if i == 0:
+                cores.append(u[:, :r])  # [n1, r1]
+            else:
+                cores.append(u[:, :r].reshape(r_prev, shape_p[i], r))
+            carry = s[:r, None] * vt[:r]
+            r_prev = r
+        return cores, carry.reshape(r_prev, nz)
+
+    inv_perm = tuple(np.argsort(perm))
+
+    def passes(cores, tail):
+        rec = cores[0]
+        for g in cores[1:]:
+            rec = np.tensordot(rec, g, axes=(rec.ndim - 1, 0))
+        rec = np.tensordot(rec, tail, axes=(rec.ndim - 1, 0))
+        rec = np.transpose(rec, inv_perm + (k,))
+        return np.max(np.abs(rec.reshape(-1, nz) @ proj64 - ref64)) <= tol
+
+    eps = 1e-7
+    for _ in range(12):
+        cores, tail = build(eps, None)
+        if passes(cores, tail):
+            break
+        eps *= 0.5
+    else:
+        return None
+
+    ranks = [c.shape[-1] for c in cores]
+    for i in range(k):
+        lo, hi = 1, ranks[i]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            trial = list(ranks)
+            trial[i] = mid
+            if passes(*build(eps, trial)):
+                hi = mid
+            else:
+                lo = mid + 1
+        ranks[i] = lo
+    cores, tail = build(eps, ranks)
+    if not passes(cores, tail):  # defensive: keep the verified UB build
+        cores, tail = build(eps, None)
+
+    n_stored = sum(c.size for c in cores) + tail.size
+    if n_stored * 2 > tab64.size:
+        return None
+    return perm, [jnp.asarray(c) for c in cores], jnp.asarray(tail)
+
+
+def _eval_flops(rep):
+    """Exact per-eval flop count of :func:`_coeff` on a tagged rep."""
+    if rep[0] == "exact":
+        total, shape = 0, rep[1].shape
+        for i in range(len(shape) - 1):
+            total += 2 * int(np.prod(shape[i:]))
+        return total
+    if rep[0] == "tucker":
+        _, factors, core = rep
+        total = sum(2 * u.shape[0] * u.shape[1] for u in factors)
+        shape = core.shape
+        for i in range(len(shape) - 1):
+            total += 2 * int(np.prod(shape[i:]))
+        return total
+    _, _, cores, tail = rep  # tt
+    total = 2 * cores[0].shape[0] * cores[0].shape[1]
+    for g in cores[1:]:
+        r_prev, n, r = g.shape
+        total += 2 * n * r_prev * r + 2 * r_prev * r
+    return total + 2 * tail.shape[0] * tail.shape[1]
+
+
+def _compress(table, node_shape, tol, proj, ref):
+    """Pick the cheapest verified representation of the coefficient
+    table by exact eval flop count: TT (>= 3 parameter axes only) vs
+    Tucker HOSVD, exact-table fallback when neither verifies cheaply.
+    Returns a tagged rep consumed by :func:`_coeff`."""
+    candidates = []
+    if len(node_shape) >= 3:
+        tt = _tt(table, node_shape, tol, proj, ref)
+        if tt is not None:
+            candidates.append(("tt",) + tt)
+    factors, core = _tucker(table, node_shape, tol, proj, ref)
     if factors is None:
-        return weights
-    return [
-        jnp.tensordot(u, w, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
-        for w, u in zip(weights, factors)
-    ]
+        candidates.append(("exact", core))
+    else:
+        candidates.append(("tucker", factors, core))
+    return min(candidates, key=_eval_flops)
+
+
+def _coeff(weights, rep):
+    """Contract barycentric weight vectors against a tagged coefficient
+    representation -> the rank-space (or raw) coefficient vector."""
+    hi = jax.lax.Precision.HIGHEST
+    kind = rep[0]
+    if kind == "exact":
+        out = rep[1]
+        for w in weights:
+            out = jnp.tensordot(w, out, axes=(0, 0), precision=hi)
+        return out
+    if kind == "tucker":
+        _, factors, core = rep
+        out = core
+        for w, u in zip(weights, factors):
+            wp = jnp.tensordot(u, w, axes=(0, 0), precision=hi)
+            out = jnp.tensordot(wp, out, axes=(0, 0), precision=hi)
+        return out
+    _, perm, cores, tail = rep  # tt, axes in build order
+    wp = [weights[a] for a in perm]
+    v = jnp.tensordot(wp[0], cores[0], axes=(0, 0), precision=hi)
+    for w, g in zip(wp[1:], cores[1:]):
+        m = jnp.tensordot(w, g, axes=(0, 1), precision=hi)  # [r_prev, r]
+        v = jnp.tensordot(v, m, axes=(0, 0), precision=hi)
+    return jnp.tensordot(v, tail, axes=(0, 0), precision=hi)
 
 
 def _bary_vector(x, nodes, bw):
@@ -237,13 +426,10 @@ def _bary_vector(x, nodes, bw):
     return jnp.where(jnp.any(near), near.astype(w.dtype), w)
 
 
-def _contract(weights, table_j, b_j):
-    """Sequential HIGHEST-precision barycentric tensor contraction."""
-    out = table_j
-    for w in weights:
-        out = jnp.tensordot(
-            w, out, axes=(0, 0), precision=jax.lax.Precision.HIGHEST
-        )
+def _contract(weights, rep, b_j):
+    """HIGHEST-precision barycentric contraction against a tagged
+    coefficient representation, with optional z-basis expansion."""
+    out = _coeff(weights, rep)
     if b_j is None:
         return out
     # expand the rank-R coefficients back onto the data redshifts
@@ -315,14 +501,14 @@ def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
     cu = q.T @ bu.T  # [m, R]
     cv = q.T @ bv.T
     ct = np.concatenate([cu.T, cv.T], axis=1)  # [R, 2m]
-    # composed Tucker + z-cut held to the SAME contract as the z-cut
-    # alone, verified against the original stacked table
-    factors, core = _tucker(a_fac, node_shape, tol, proj=b, ref=stacked)
-    return factors, core, jnp.asarray(ct), m
+    # composed parameter-axis cut + z-cut held to the SAME contract as
+    # the z-cut alone, verified against the original stacked table
+    rep = _compress(a_fac, node_shape, tol, proj=b, ref=stacked)
+    return rep, jnp.asarray(ct), m
 
 
-def _chi2_from_block(weights, factors, core, ct, m, sigma8):
-    a = _contract(_project_weights(weights, factors), core, None)  # [R]
+def _chi2_from_block(weights, rep, ct, m, sigma8):
+    a = _coeff(weights, rep)  # [R]
     y = jnp.tensordot(a, ct, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
     r = y[:m] - sigma8 * y[m:]
     return jnp.sum(r * r)
@@ -399,12 +585,12 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             s_ax = _cheb_nodes(n_nodes, *s_dom)
             grids = np.meshgrid(om_ax, wa_ax, s_ax, indexing="ij")
             flat_params = np.stack([g.ravel() for g in grids], axis=1)
-            factors, core, ct, m = factor(
+            rep, ct, m = factor(
                 flat_params,
                 lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
                 [n_nodes] * 3,
             )
-            halves.append((jnp.asarray(s_ax), factors, core, ct, m))
+            halves.append((jnp.asarray(s_ax), rep, ct, m))
 
         om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
         bw = jnp.asarray(_bary_weights(n_nodes))
@@ -416,13 +602,12 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             outs = [
                 _chi2_from_block(
                     [w_om, w_wa, _bary_vector(s, s_ax, bw)],
-                    factors,
-                    core,
+                    rep,
                     ct,
                     m,
                     p["sigma8"],
                 )
-                for s_ax, factors, core, ct, m in halves
+                for s_ax, rep, ct, m in halves
             ]
             return jnp.where(s <= 0.0, outs[0], outs[1])
 
@@ -435,7 +620,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
     grids = np.meshgrid(*axes, indexing="ij")
     flat_params = np.stack([g.ravel() for g in grids], axis=1)
-    factors, core, ct, m = factor(
+    rep, ct, m = factor(
         flat_params,
         lambda theta: dict(zip(pnames, theta)),
         [n_nodes] * ndim_p,
@@ -448,7 +633,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             _bary_vector(p[name], nodes, bw)
             for name, nodes in zip(pnames, axes_j)
         ]
-        return _chi2_from_block(weights, factors, core, ct, m, p["sigma8"])
+        return _chi2_from_block(weights, rep, ct, m, p["sigma8"])
 
     return chi2
 
@@ -500,7 +685,7 @@ def _make_fs8_emulator(z_data, model, n_nodes, substeps):
         substeps,
     ).reshape(*([n_nodes] * ndim_p), z_data.size)
 
-    factors, table_j, b_j = _svd_factor(table, [n_nodes] * ndim_p, z_data.size)
+    rep, b_j = _svd_factor(table, [n_nodes] * ndim_p, z_data.size)
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
 
@@ -509,7 +694,7 @@ def _make_fs8_emulator(z_data, model, n_nodes, substeps):
             _bary_vector(p[name], nodes, bw)
             for name, nodes in zip(pnames, axes_j)
         ]
-        return _contract(_project_weights(weights, factors), table_j, b_j)
+        return _contract(weights, rep, b_j)
 
     return emulate
 
@@ -555,8 +740,8 @@ def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
             z_data,
             substeps,
         ).reshape(n_nodes, n_nodes, n_nodes, z_data.size)
-        factors, table_j, b_j = _svd_factor(table, [n_nodes] * 3, z_data.size)
-        halves.append((jnp.asarray(s_ax), factors, table_j, b_j))
+        rep, b_j = _svd_factor(table, [n_nodes] * 3, z_data.size)
+        halves.append((jnp.asarray(s_ax), rep, b_j))
 
     om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
     bw = jnp.asarray(_bary_weights(n_nodes))
@@ -566,14 +751,8 @@ def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
         w_om = _bary_vector(p["Om"], om_j, bw)
         w_wa = _bary_vector(p["wa"], wa_j, bw)
         outs = [
-            _contract(
-                _project_weights(
-                    [w_om, w_wa, _bary_vector(s, s_ax, bw)], fs
-                ),
-                tj,
-                bj,
-            )
-            for s_ax, fs, tj, bj in halves
+            _contract([w_om, w_wa, _bary_vector(s, s_ax, bw)], rep, bj)
+            for s_ax, rep, bj in halves
         ]
         return jnp.where(s <= 0.0, outs[0], outs[1])
 
