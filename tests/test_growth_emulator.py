@@ -108,6 +108,48 @@ def test_tucker_compresses_smooth_tables_not_noise(x64):
     np.testing.assert_array_equal(np.asarray(core_n), noisy)
 
 
+def test_tt_3axis_tables_match_direct_contraction(x64):
+    # The tensor-train sweep (_tt + _coeff) must reproduce the direct
+    # full-table barycentric contraction at small bond ranks on a
+    # separable smooth table, and _compress must pick the exact
+    # flop-count minimum of {tt, tucker}.
+    import jax.numpy as jnp
+    from cosmax.models.growth_emulator import (
+        _compress, _coeff, _eval_flops, _tt, _tucker,
+    )
+
+    rng = np.random.default_rng(0)
+    n, R, N = 24, 5, 30
+    x = np.linspace(-1, 1, n)
+    ma = np.stack([np.exp(-(k + 1) * x**2) for k in range(R)], axis=1)
+    mb = np.stack([np.cos((k + 1) * x) for k in range(R)], axis=1)
+    mc = np.stack([1.0 / (2.0 + k + x) for k in range(R)], axis=1)
+    table = np.einsum("ik,jk,lk->ijlk", ma, mb, mc)  # [n, n, n, R]
+    proj = np.linalg.qr(rng.standard_normal((N, R)))[0].T
+    ref = table.reshape(-1, R) @ proj
+
+    tt = _tt(table, (n, n, n), 1e-6, proj=proj, ref=ref)
+    assert tt is not None
+    rep_tt = ("tt",) + tt
+    bonds = [c.shape[-1] for c in rep_tt[2]]
+    assert max(bonds) <= 12, bonds
+    assert _eval_flops(rep_tt) < 2 * n**3 * R  # beats exact contraction
+
+    weights = [jnp.asarray(rng.standard_normal(n)) for _ in range(3)]
+    got = np.asarray(_coeff(weights, rep_tt))
+    want = table
+    for w in weights:
+        want = np.tensordot(np.asarray(w), want, axes=(0, 0))
+    err = np.max(np.abs((got - want) @ proj))
+    assert err <= 2e-6 * max(np.max(np.abs(np.asarray(w))) for w in weights) ** 3
+
+    # _compress returns the flop-count minimum of the two verified reps
+    rep = _compress(table, (n, n, n), 1e-6, proj=proj, ref=ref)
+    factors, core = _tucker(table, (n, n, n), 1e-6, proj=proj, ref=ref)
+    rep_tuck = ("exact", core) if factors is None else ("tucker", factors, core)
+    assert _eval_flops(rep) == min(_eval_flops(rep_tt), _eval_flops(rep_tuck))
+
+
 def test_fast_fs8_term_matches_parity(x64):
     from cosmax.configs import get_preset
 
