@@ -108,6 +108,25 @@ def test_tucker_compresses_smooth_tables_not_noise(x64):
     np.testing.assert_array_equal(np.asarray(core_n), noisy)
 
 
+def test_fast_fs8_chi2_far_tail_bound(x64):
+    # Pin the measured worst point of a 24-point random sweep over the
+    # full w0wacdm prior box: an early-DE-dominated corner ~8 sigma
+    # from the posterior bulk. The truncation error is absolute in
+    # whitened units, so chi2 error grows as sqrt(chi2): here the
+    # measured |dchi2| is 2.2e-2 on chi2 ~ 125 (rel 1.8e-4) — bounded
+    # at 0.05 absolute, which shifts logL by < 0.03 at a point 60
+    # chi2-units above the MAP (no posterior effect; the 43-config
+    # validation sweep confirms parity at <= 0.05 sigma).
+    from cosmax.configs import get_preset
+
+    fast = get_preset("fs8.fs8", "w0wacdm", fast=True)
+    slow = get_preset("fs8.fs8", "w0wacdm")
+    theta = np.array([0.175, 1.016, -1.551, 1.894, 0.926])
+    a = float(sum(fast.chi2_breakdown()(theta).values()))
+    b = float(sum(slow.chi2_breakdown()(theta).values()))
+    assert a == pytest.approx(b, abs=0.05), (a, b)
+
+
 def test_tt_3axis_tables_match_direct_contraction(x64):
     # The tensor-train sweep (_tt + _coeff) must reproduce the direct
     # full-table barycentric contraction at small bond ranks on a
@@ -179,11 +198,13 @@ def test_fast_fs8_term_matches_parity_wzcdm(x64):
     ]:
         a = float(sum(fast.chi2_breakdown()(theta).values()))
         b = float(sum(slow.chi2_breakdown()(theta).values()))
-        # abs 1e-3 near the posterior bulk (chi2 ~ tens); at extreme
-        # domain corners chi2 grows to ~1e4 and the truncation
-        # contract binds: the z-SVD + Tucker cuts compose to ~1.5e-6
-        # of the whitened table and the quadratic form doubles the
-        # relative error (d chi2 / chi2 = 2 dy/y), so 3e-6.
+        # The fast path's truncations are bounded ABSOLUTELY in
+        # whitened-residual units (composed z-SVD + node cuts, 1e-6 of
+        # max|whitened table| per element), so the chi2 error scales
+        # as 2*sqrt(chi2)*|dy| — tiny relative error near the bulk,
+        # growing like sqrt(chi2) in the far tails (measured worst
+        # |dchi2| 2.3e-2 at chi2 ~ 125 over a 24-point random box
+        # sweep; see test_fast_fs8_chi2_far_tail_bound).
         assert a == pytest.approx(b, rel=3e-6, abs=1e-3), theta
 
 
