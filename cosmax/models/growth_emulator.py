@@ -54,7 +54,7 @@ def _bary_weights(n):
 _TABLE_MEMO = {}
 
 
-def _solve_table(flat_params, to_params, model, z_data, substeps):
+def _solve_table(flat_params, to_params, map_tag, model, z_data, substeps):
     """ODE-solve fsigma8/sigma8 at every node of a flattened grid.
 
     ``to_params(theta) -> dict`` maps a node coordinate vector to the
@@ -62,9 +62,13 @@ def _solve_table(flat_params, to_params, model, z_data, substeps):
     w0wacdm path uses it to undo the s = w0 + wa transform). Memoised
     on the node grid so the value and whitened-chi2 emulators share one
     set of ODE solves (the w0wacdm grid is 2 x 40^3 node solves).
+    ``map_tag`` names the to_params mapping in the memo key — functions
+    don't hash by semantics, and byte-identical node grids under
+    DIFFERENT coordinate mappings must not share a table.
     """
     key = (
         np.asarray(flat_params, np.float64).tobytes(),
+        map_tag,
         model,
         np.asarray(z_data, np.float64).tobytes(),
         substeps,
@@ -279,10 +283,11 @@ def _tt(table, node_shape, tol, proj, ref):
                     pairs[front] = est_rank(front)
                 bonds.append(pairs[front])
         n = [node_shape[a] for a in perm]
-        cost = 2 * n[0] * bonds[0] + 2 * bonds[-1] * nz
+        r_last = min(bonds[-1] * n[-1], nz)  # final bond into the tail
+        cost = 2 * n[0] * bonds[0] + 2 * r_last * nz
         for i in range(1, k):
             r_in = bonds[i - 1]
-            r_out = bonds[i] if i < k - 1 else min(bonds[-1] * n[-1], nz)
+            r_out = bonds[i] if i < k - 1 else r_last
             cost += 2 * n[i] * r_in * r_out
         if cost < best_cost:
             best_perm, best_cost = perm, cost
@@ -571,8 +576,10 @@ def make_fs8_chi2_emulator(
 def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, substeps):
     obs_over_fid = fs8_obs / fid_denom
 
-    def factor(flat_params, to_params, node_shape):
-        v_tab = _solve_table(flat_params, to_params, model, z_data, substeps)
+    def factor(flat_params, to_params, map_tag, node_shape):
+        v_tab = _solve_table(
+            flat_params, to_params, map_tag, model, z_data, substeps
+        )
         q_tab = _edm_table(flat_params, to_params, model, z_data)
         u_tab = (obs_over_fid * q_tab) @ linv.T
         vw_tab = v_tab @ linv.T
@@ -599,6 +606,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             rep, ct, m = factor(
                 flat_params,
                 lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
+                "w0wa-rot",
                 [n_nodes] * 3,
             )
             halves.append((jnp.asarray(s_ax), rep, ct, m))
@@ -634,6 +642,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     rep, ct, m = factor(
         flat_params,
         lambda theta: dict(zip(pnames, theta)),
+        ("native",) + pnames,
         [n_nodes] * ndim_p,
     )
     axes_j = [jnp.asarray(ax) for ax in axes]
@@ -691,6 +700,7 @@ def _make_fs8_emulator(z_data, model, n_nodes, substeps):
     table = _solve_table(
         flat_params,
         lambda theta: dict(zip(pnames, theta)),
+        ("native",) + pnames,
         model,
         z_data,
         substeps,
@@ -747,6 +757,7 @@ def _make_fs8_emulator_w0wa(z_data, n_nodes, substeps):
         table = _solve_table(
             flat_params,
             lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
+            "w0wa-rot",
             "w0wacdm",
             z_data,
             substeps,

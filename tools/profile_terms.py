@@ -65,10 +65,14 @@ def main(argv=None):
         return (time.perf_counter() - t0) / args.iters
 
     if args.cost:
+        # reuse bench.py's hardened cost helper (handles list-returning
+        # and cost-less backends)
+        from bench import _cost_analysis
+
         def cost(fit):
             lp = jax.jit(jax.vmap(fit.log_prob()))
-            c = lp.lower(walkers).compile().cost_analysis()
-            return c.get("flops", 0) / w, c.get("bytes accessed", 0) / w
+            flops, nbytes = _cost_analysis(lp, walkers)
+            return (flops or 0.0) / w, (nbytes or 0.0) / w
 
         f_full, b_full = cost(fit_full)
         print(
