@@ -64,12 +64,9 @@ def build_fs8_term(
         # asserted in tests/test_growth_emulator.py).
         from cosmax.models.growth_emulator import make_fs8_chi2_emulator
 
-        chi2_emu = make_fs8_chi2_emulator(
+        raw_chi2 = make_fs8_chi2_emulator(
             z, model, linv, fs8_obs, fid_denom, substeps=ode_substeps
         )
-
-        def raw_chi2(p):
-            return chi2_emu(p)
 
     else:
 

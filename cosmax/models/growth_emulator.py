@@ -17,6 +17,8 @@ The emulated vector is fsigma8(z_data)/sigma8; the likelihood
 multiplies by the sampled sigma8.
 """
 
+from itertools import permutations
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -139,6 +141,14 @@ def _svd_factor(table, node_shape, nz):
     return rep, jnp.asarray(vt[:rank])
 
 
+def _composed_err(rec, proj64, ref64):
+    """Max elementwise error of a reconstructed coefficient table in
+    the caller's data space: |rec @ proj - ref|. Both factorisations
+    verify against this — the single contract their z-SVD cut is held
+    to (see :func:`_tucker` for why coefficient-space checks fail)."""
+    return np.max(np.abs(rec.reshape(-1, rec.shape[-1]) @ proj64 - ref64))
+
+
 def _tucker(table, node_shape, tol, proj, ref):
     """HOSVD-compress ``table`` [*node_shape, R] along the parameter axes.
 
@@ -173,9 +183,6 @@ def _tucker(table, node_shape, tol, proj, ref):
     proj64 = np.asarray(proj, np.float64)
     ref64 = np.asarray(ref, np.float64)
 
-    def err(rec):
-        return np.max(np.abs(rec.reshape(-1, rec.shape[-1]) @ proj64 - ref64))
-
     svds = []
     for ax in range(k):
         mat = np.moveaxis(tab64, ax, 0).reshape(node_shape[ax], -1)
@@ -207,7 +214,7 @@ def _tucker(table, node_shape, tol, proj, ref):
     ranks = [r for _, _, r in svds]
     while True:
         core, rec = reconstruct(ranks)
-        if err(rec) <= tol:
+        if _composed_err(rec, proj64, ref64) <= tol:
             break
         growable = [ax for ax in range(k) if ranks[ax] < node_shape[ax]]
         if not growable:
@@ -251,8 +258,6 @@ def _tt(table, node_shape, tol, proj, ref):
     shrinks each bond to the smallest rank that still verifies.
     Returns None if tol is unreachable or compression wouldn't pay.
     """
-    from itertools import permutations
-
     k = len(node_shape)
     tab0 = np.asarray(table, np.float64)
     nz = tab0.shape[-1]
@@ -322,7 +327,7 @@ def _tt(table, node_shape, tol, proj, ref):
             rec = np.tensordot(rec, g, axes=(rec.ndim - 1, 0))
         rec = np.tensordot(rec, tail, axes=(rec.ndim - 1, 0))
         rec = np.transpose(rec, inv_perm + (k,))
-        return np.max(np.abs(rec.reshape(-1, nz) @ proj64 - ref64)) <= tol
+        return _composed_err(rec, proj64, ref64) <= tol
 
     eps = 1e-7
     for _ in range(12):
@@ -355,20 +360,20 @@ def _tt(table, node_shape, tol, proj, ref):
     return perm, [jnp.asarray(c) for c in cores], jnp.asarray(tail)
 
 
+def _seq_contract_flops(shape):
+    """Flops of sequentially contracting leading axes off ``shape``."""
+    return sum(2 * int(np.prod(shape[i:])) for i in range(len(shape) - 1))
+
+
 def _eval_flops(rep):
     """Exact per-eval flop count of :func:`_coeff` on a tagged rep."""
     if rep[0] == "exact":
-        total, shape = 0, rep[1].shape
-        for i in range(len(shape) - 1):
-            total += 2 * int(np.prod(shape[i:]))
-        return total
+        return _seq_contract_flops(rep[1].shape)
     if rep[0] == "tucker":
         _, factors, core = rep
-        total = sum(2 * u.shape[0] * u.shape[1] for u in factors)
-        shape = core.shape
-        for i in range(len(shape) - 1):
-            total += 2 * int(np.prod(shape[i:]))
-        return total
+        return sum(
+            2 * u.shape[0] * u.shape[1] for u in factors
+        ) + _seq_contract_flops(core.shape)
     _, _, cores, tail = rep  # tt
     total = 2 * cores[0].shape[0] * cores[0].shape[1]
     for g in cores[1:]:
