@@ -1,4 +1,4 @@
-"""Build-time Chebyshev emulator of the growth factor.
+"""Build-time Chebyshev emulators of the growth factor.
 
 The fsigma8 theory (models.growth) integrates a 999-step ODE per
 likelihood evaluation — a sequential `lax.scan` whose latency dominates
@@ -7,14 +7,27 @@ f(z_i; theta) = a_i * delta'(a_i) / delta(1), is a *smooth* function of
 the 1-3 cosmological parameters it depends on (Om, w0[, wa]). So in
 fast mode we solve the ODE once per node of a Chebyshev tensor grid
 over the prior box at build time (vmapped RK4, a few hundred solves),
-and each evaluation becomes a barycentric tensor contraction — O(n^2)
-flops instead of a 4000-stage sequential integration, with spectral
-accuracy (verified ≤1e-7 for the 1-2 parameter families and ≤2e-6 for
-w0wacdm against the direct ODE in tests; the CPL family needs the
-split-axis treatment in :func:`_make_fs8_emulator_w0wa`).
+and each evaluation becomes a barycentric tensor contraction with
+spectral accuracy (verified ≤1e-7 for the 1-2 parameter families and
+≤2e-6 for w0wacdm against the direct ODE in tests; the CPL family
+needs the split-axis treatment in :func:`_make_fs8_emulator_w0wa`).
 
-The emulated vector is fsigma8(z_data)/sigma8; the likelihood
-multiplies by the sampled sigma8.
+Two emulators share the node tables:
+
+* :func:`make_fs8_emulator` — the VALUE path, fn(p) ->
+  fsigma8(z_data)/sigma8 (the likelihood multiplies by the sampled
+  sigma8).
+* :func:`make_fs8_chi2_emulator` — the production fast path: the
+  whitened chi2 itself, with the AP comoving integrals, the data
+  multiply and the covariance whitening all folded into build-time
+  factors, so the runtime never materialises a length-N vector.
+
+Both factor their coefficient tables (:func:`_compress`) as a
+truncated z-SVD composed with either a Tucker HOSVD (1-2 parameter
+axes) or a tensor train (3 axes), whichever evaluates in fewer flops;
+every truncation is verified END-TO-END in data space against the
+original table under one absolute contract (see ARCHITECTURE.md's
+roofline section for the measured per-eval costs this buys).
 """
 
 from itertools import permutations
