@@ -45,6 +45,23 @@ DOMAINS = {
     "wa": (-3.5, 2.6),
 }
 
+# Radiation linearisation point for the chi2 emulator: Or = orh2 / h^2
+# tops out around 4.2e-5 / 0.5^2 ~ 1.7e-4 over every preset's H0 box,
+# so a secant through (0, OR_REF) brackets the realistic range and the
+# in-range curvature error is O(OR_REF^2) — measured < 2e-4 in chi2.
+OR_REF = 2e-4
+
+# For 3-axis (w0wacdm) grids the radiation-correction program lives on
+# this coarser per-axis node grid (2 x 2 x 20^3 extra ODE solves
+# instead of 2 x 2 x 40^3). The Or delta is small over the realistic
+# box (~0.03 whitened units; 0.29 at the Om=0.03, w0=-3.2 corner where
+# radiation competes with matter at the a=1e-3 ODE start) and its
+# Chebyshev tail decays 1.7e-3 / 4.9e-4 / 7.5e-5 at 12/16/20 nodes
+# (measured on the 2-D family) — at 20 the induced chi2 error is
+# ~1e-4·t, far under the base truncation contract. 1-2 axis grids are
+# cheap enough to build the correction on the full grid.
+OR_DELTA_NODES = 20
+
 MODEL_PARAMS = {
     "lcdm": ("Om",),
     "wcdm": ("Om", "w0"),
@@ -439,6 +456,11 @@ def _coeff(weights, rep):
     return jnp.tensordot(v, tail, axes=(0, 0), precision=hi)
 
 
+def _flatten_grid(axes):
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=1)
+
+
 def _bary_vector(x, nodes, bw):
     """Barycentric interpolation weight vector at scalar x."""
     diff = x - nodes
@@ -483,27 +505,10 @@ def _edm_table(flat_params, to_params, model, z_data, order=64):
     return np.asarray(jax.vmap(one)(jnp.asarray(flat_params)))
 
 
-def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
-    """Factor the stacked whitened node tables into the rank-space
-    chi^2 program chi2 = |Cu a - sigma8 Cv a|^2.
-
-    u_tab  [M, N]: Linv (obs * q) per node — the data side of the
-                   residual (linear in the emulated AP curve).
-    vw_tab [M, N]: Linv fsigma8/sigma8 per node — the theory side.
-
-    A build-time f64 SVD of the stacked [M, 2N] table gives the node
-    coefficient factor A [*node_shape, R]; an orthonormal basis Q of
-    the combined residual span (columns of Bu^T|Bv^T, dimension
-    m <= min(N, 2R)) rotates both sides into R^m without changing the
-    2-norm, so the runtime never materialises a length-N vector:
-    per walker it is one barycentric contraction to a [R], one
-    [R, 2m] matmul, and an axpy + square-reduce. Truncation is held to
-    <= 1e-6 * max|table| elementwise — the same relative contract as
-    the value emulator (tests assert the chi^2 agreement directly).
-    """
-    stacked = np.concatenate([u_tab, vw_tab], axis=1)  # [M, 2N]
+def _svd_rank_factor(stacked, tol):
+    """Truncated f64 SVD of a stacked [M, 2N] table at absolute
+    elementwise tolerance ``tol`` -> (A [M, R], B [R, 2N])."""
     u, s, vt = np.linalg.svd(stacked, full_matrices=False)
-    tol = 1e-6 * np.max(np.abs(stacked))
     noise = s <= 2e-8 * s[0]
     rank = int(np.argmax(noise)) if noise.any() else s.size
     rank = max(rank, 1)
@@ -513,26 +518,82 @@ def _whitened_chi2_factor(u_tab, vw_tab, node_shape):
         > tol
     ):
         rank += 1
-    a_fac = (u[:, :rank] * s[:rank]).reshape(*node_shape, rank)
-    b = vt[:rank]  # [R, 2N]
-    n = u_tab.shape[1]
-    bu, bv = b[:, :n], b[:, n:]
-    z = np.concatenate([bu.T, bv.T], axis=1)  # [N, 2R]
+    return u[:, :rank] * s[:rank], vt[:rank]
+
+
+def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
+    """Factor the whitened node tables into the rank-space chi^2
+    program chi2 = |(Cu + t Du) a_pair - sigma8 (Cv + t Dv) a_pair|^2.
+
+    ``base`` is (u, v), two [M, N] tables on the fine node grid:
+
+    * u = Linv (obs * q) — the data side of the residual (linear in
+          the emulated AP curve),
+    * v = Linv fsigma8/sigma8 — the theory side.
+
+    ``delta`` is (du, dv), the SAME two tables evaluated at Or=OR_REF
+    minus their Or=0 values, on the coarse ``c_node_shape`` grid — the
+    radiation correction (t = Or / OR_REF interpolates the residual
+    affinely in Or). The deltas get their OWN z-SVD (small rank Rd —
+    they are ~60x smaller than the base and simpler) and their own
+    parameter-axis compression on the coarse grid; stacking them into
+    the base SVD instead inflates both R and m (measured 25k -> 78k
+    flops/eval on the wzcdm term), and emulating the six product
+    scalars u.du, ... directly under-resolves the base factor's
+    spectral content on any affordable grid (measured 5.8e-3 chi2
+    error at the w0wacdm bulk).
+
+    Build: f64 SVDs give A [*node_shape, R] / Ad [*c_node_shape, Rd];
+    an orthonormal basis Q of the COMBINED residual span (columns of
+    Bu^T|Bv^T|Bdu^T|Bdv^T, dimension m <= min(N, 2R + 2Rd)) rotates
+    every side into R^m without changing the 2-norm, so the runtime
+    never materialises a length-N vector: per walker one barycentric
+    contraction to a [R] (plus a coarse one to a [Rd] when radiation
+    is on), one [R, 2m] (+ one [Rd, 2m]) matmul, and an axpy +
+    square-reduce. Every truncation is held to <= 1e-6 * max|base|
+    elementwise — the same relative contract as the value emulator
+    (tests assert the chi^2 agreement directly).
+    """
+    n = base[0].shape[1]
+    stacked = np.concatenate(base, axis=1)  # [M, 2N]
+    tol = 1e-6 * np.max(np.abs(stacked))
+    a_fac, b = _svd_rank_factor(stacked, tol)
+    dstacked = np.concatenate(delta, axis=1)  # [Mc, 2N]
+    ad_fac, bd = _svd_rank_factor(dstacked, tol)
+
+    cols = [b[:, :n], b[:, n:], bd[:, :n], bd[:, n:]]
+    z = np.concatenate([c.T for c in cols], axis=1)  # [N, 2R + 2Rd]
     qu, qs, _ = np.linalg.svd(z, full_matrices=False)
     m = max(int(np.sum(qs > 1e-12 * qs[0])), 1)
     q = qu[:, :m]  # [N, m] orthonormal residual basis
-    cu = q.T @ bu.T  # [m, R]
-    cv = q.T @ bv.T
-    ct = np.concatenate([cu.T, cv.T], axis=1)  # [R, 2m]
+    ct = np.concatenate([(q.T @ c.T).T for c in cols[:2]], axis=1)
+    ctd = np.concatenate([(q.T @ c.T).T for c in cols[2:]], axis=1)
     # composed parameter-axis cut + z-cut held to the SAME contract as
-    # the z-cut alone, verified against the original stacked table
-    rep = _compress(a_fac, node_shape, tol, proj=b, ref=stacked)
-    return rep, jnp.asarray(ct), m
+    # the z-cut alone, verified against the original stacked tables
+    rep = _compress(
+        a_fac.reshape(*node_shape, -1), node_shape, tol, proj=b, ref=stacked
+    )
+    repd = _compress(
+        ad_fac.reshape(*c_node_shape, -1),
+        c_node_shape,
+        tol,
+        proj=bd,
+        ref=dstacked,
+    )
+    return rep, jnp.asarray(ct), repd, jnp.asarray(ctd), m
 
 
-def _chi2_from_block(weights, rep, ct, m, sigma8):
+def _chi2_from_block(weights, rep, ct, m, sigma8, delta=None):
+    """chi2 = |y_u - sigma8 y_v|^2 in the m-dim residual basis;
+    ``delta = (cweights, repd, ctd, t_or)`` adds the radiation
+    correction t * (yd_u - sigma8 yd_v) to the residual first."""
+    hi = jax.lax.Precision.HIGHEST
     a = _coeff(weights, rep)  # [R]
-    y = jnp.tensordot(a, ct, axes=(0, 0), precision=jax.lax.Precision.HIGHEST)
+    y = jnp.tensordot(a, ct, axes=(0, 0), precision=hi)
+    if delta is not None:
+        cweights, repd, ctd, t_or = delta
+        ad = _coeff(cweights, repd)  # [Rd]
+        y = y + t_or * jnp.tensordot(ad, ctd, axes=(0, 0), precision=hi)
     r = y[:m] - sigma8 * y[m:]
     return jnp.sum(r * r)
 
@@ -594,18 +655,52 @@ def make_fs8_chi2_emulator(
 def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, substeps):
     obs_over_fid = fs8_obs / fid_denom
 
-    def factor(flat_params, to_params, map_tag, node_shape):
+    def whitened_pair(flat_params, to_params, map_tag):
         v_tab = _solve_table(
             flat_params, to_params, map_tag, model, z_data, substeps
         )
         q_tab = _edm_table(flat_params, to_params, model, z_data)
-        u_tab = (obs_over_fid * q_tab) @ linv.T
-        vw_tab = v_tab @ linv.T
-        return _whitened_chi2_factor(
-            np.asarray(u_tab, np.float64),
-            np.asarray(vw_tab, np.float64),
-            node_shape,
+        return (obs_over_fid * q_tab) @ linv.T, v_tab @ linv.T
+
+    def factor(axes, to_params, map_tag):
+        # Radiation enters the AP integrals and the growth ODE only
+        # through the tiny Or <= ~2e-4 the CMB/BBN-coupled presets
+        # inject (presets._radiation), and the whitened tables respond
+        # linearly in Or to well below the truncation contract — so two
+        # table builds (Or = 0 and Or = OR_REF) capture it: the runtime
+        # interpolates the RESIDUAL affinely in Or, which makes chi2's
+        # quadratic-in-Or structure exact and leaves only the O(Or^2)
+        # curvature of the tables themselves (measured < 9e-4 in chi2
+        # near the posterior bulk; tests pin the multiprobe-style
+        # agreement). The delta tables are built on the coarse
+        # OR_DELTA_NODES grid and factored into their own small
+        # rank-space program sharing the base's residual basis
+        # (:func:`_whitened_chi2_factor`) — the base program's cost is
+        # untouched when radiation is off.
+        node_shape = [len(ax) for ax in axes]
+        u0, vw0 = whitened_pair(_flatten_grid(axes), to_params, map_tag)
+        to_params_or = lambda th: dict(to_params(th), Or=OR_REF)
+        c_axes = [
+            _cheb_nodes(min(len(ax), OR_DELTA_NODES), ax[0], ax[-1])
+            for ax in axes
+        ]
+        cflat = _flatten_grid(c_axes)
+        u0c, vw0c = whitened_pair(cflat, to_params, map_tag)
+        u1c, vw1c = whitened_pair(
+            cflat, to_params_or, (map_tag, "or", OR_REF)
         )
+        rep, ct, repd, ctd, m = _whitened_chi2_factor(
+            (np.asarray(u0, np.float64), np.asarray(vw0, np.float64)),
+            node_shape,
+            (
+                np.asarray(u1c - u0c, np.float64),
+                np.asarray(vw1c - vw0c, np.float64),
+            ),
+            [len(ax) for ax in c_axes],
+        )
+        c_axes_j = [jnp.asarray(ax) for ax in c_axes]
+        c_bw = jnp.asarray(_bary_weights(len(c_axes[0])))
+        return rep, ct, repd, ctd, m, c_axes_j, c_bw
 
     if model == "w0wacdm":
         # split-axis treatment, same rationale as _make_fs8_emulator_w0wa
@@ -619,33 +714,42 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         halves = []
         for s_dom in ((s_bounds[0], 0.0), (0.0, s_bounds[1])):
             s_ax = _cheb_nodes(n_nodes, *s_dom)
-            grids = np.meshgrid(om_ax, wa_ax, s_ax, indexing="ij")
-            flat_params = np.stack([g.ravel() for g in grids], axis=1)
-            rep, ct, m = factor(
-                flat_params,
-                lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
-                "w0wa-rot",
-                [n_nodes] * 3,
+            halves.append(
+                (jnp.asarray(s_ax),)
+                + factor(
+                    [om_ax, wa_ax, s_ax],
+                    lambda th: {"Om": th[0], "wa": th[1], "w0": th[2] - th[1]},
+                    "w0wa-rot",
+                )
             )
-            halves.append((jnp.asarray(s_ax), rep, ct, m))
 
         om_j, wa_j = jnp.asarray(om_ax), jnp.asarray(wa_ax)
         bw = jnp.asarray(_bary_weights(n_nodes))
 
         def chi2(p):
             s = p["w0"] + p["wa"]
+            orr = p.get("Or", None)
             w_om = _bary_vector(p["Om"], om_j, bw)
             w_wa = _bary_vector(p["wa"], wa_j, bw)
-            outs = [
-                _chi2_from_block(
-                    [w_om, w_wa, _bary_vector(s, s_ax, bw)],
-                    rep,
-                    ct,
-                    m,
-                    p["sigma8"],
+            outs = []
+            for s_ax, rep, ct, repd, ctd, m, c_axes_j, c_bw in halves:
+                delta = None
+                if orr is not None:
+                    cw = [
+                        _bary_vector(x, ax, c_bw)
+                        for x, ax in zip((p["Om"], p["wa"], s), c_axes_j)
+                    ]
+                    delta = (cw, repd, ctd, orr / OR_REF)
+                outs.append(
+                    _chi2_from_block(
+                        [w_om, w_wa, _bary_vector(s, s_ax, bw)],
+                        rep,
+                        ct,
+                        m,
+                        p["sigma8"],
+                        delta,
+                    )
                 )
-                for s_ax, rep, ct, m in halves
-            ]
             return jnp.where(s <= 0.0, outs[0], outs[1])
 
         return chi2
@@ -655,13 +759,10 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     if n_nodes is None:
         n_nodes = {1: 48, 2: 32}[ndim_p]
     axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
-    grids = np.meshgrid(*axes, indexing="ij")
-    flat_params = np.stack([g.ravel() for g in grids], axis=1)
-    rep, ct, m = factor(
-        flat_params,
+    rep, ct, repd, ctd, m, c_axes_j, c_bw = factor(
+        axes,
         lambda theta: dict(zip(pnames, theta)),
         ("native",) + pnames,
-        [n_nodes] * ndim_p,
     )
     axes_j = [jnp.asarray(ax) for ax in axes]
     bw = jnp.asarray(_bary_weights(n_nodes))
@@ -671,7 +772,15 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             _bary_vector(p[name], nodes, bw)
             for name, nodes in zip(pnames, axes_j)
         ]
-        return _chi2_from_block(weights, rep, ct, m, p["sigma8"])
+        orr = p.get("Or", None)
+        delta = None
+        if orr is not None:
+            cw = [
+                _bary_vector(p[name], nodes, c_bw)
+                for name, nodes in zip(pnames, c_axes_j)
+            ]
+            delta = (cw, repd, ctd, orr / OR_REF)
+        return _chi2_from_block(weights, rep, ct, m, p["sigma8"], delta)
 
     return chi2
 

@@ -208,6 +208,36 @@ def test_fast_fs8_term_matches_parity_wzcdm(x64):
         assert a == pytest.approx(b, rel=3e-6, abs=1e-3), theta
 
 
+def test_fast_fs8_chi2_tracks_radiation(x64):
+    # CMB/BBN-coupled presets inject Or into every term's params
+    # (presets._radiation), and the parity fs8 path threads it through
+    # e_of_z / the growth ODE — so the fast chi2 emulator interpolates
+    # the whitened residual affinely in Or between build tables at
+    # Or=0 and OR_REF (growth_emulator OR_REF). Before that fix the
+    # fast path silently ignored Or: chi2 off by ~0.22 at Or=1e-4
+    # (dchi2/dOr ~ 2240 on the multiprobe joint's fs8 term).
+    from cosmax.data import load_fs8
+    from cosmax.likelihoods.fs8 import build_fs8_term
+    from cosmax.likelihoods.fastmode import use_fast_mode
+
+    ds = load_fs8()
+    for model, extra in [("wzcdm", {}), ("w0wacdm", {"wa": -0.4})]:
+        par = build_fs8_term(ds, model)
+        with use_fast_mode():
+            fast = build_fs8_term(ds, model)
+        for orr in (5e-5, 1e-4, 1.7e-4):
+            p = dict(
+                {"Om": 0.31, "w0": -1.0, "sigma8": 0.81, "f_err": 1.0},
+                Or=orr,
+                **extra,
+            )
+            a = float(par.chi2(p))
+            b = float(fast.chi2(p))
+            # secant curvature + delta-grid interp, both ~1e-3 near
+            # the posterior bulk (see OR_DELTA_NODES rationale)
+            assert a == pytest.approx(b, abs=5e-3), (model, orr)
+
+
 def test_fast_fs8_term_matches_parity_w0wacdm_crease(x64):
     # w0wacdm goes through the split-axis chi2 build; pin the contract
     # at the old single-box worst point (the w0 + wa ~ 0 boundary

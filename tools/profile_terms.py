@@ -57,12 +57,18 @@ def main(argv=None):
     def bench(fit):
         lp = jax.jit(jax.vmap(fit.log_prob()))
         np.asarray(lp(walkers))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(args.iters):
-            out = lp(walkers)
-        np.asarray(out)
-        return (time.perf_counter() - t0) / args.iters
+        # best-of-3 like bench.py: the tunnel's per-dispatch latency
+        # jitters run-to-run by up to ~2x, which would otherwise swamp
+        # the leave-one-out differences this tool reports
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = lp(walkers)
+            np.asarray(out)
+            dt = min(dt, time.perf_counter() - t0)
+        return dt / args.iters
 
     if args.cost:
         # reuse bench.py's hardened cost helper (handles list-returning
