@@ -30,6 +30,10 @@ original table under one absolute contract (see ARCHITECTURE.md's
 roofline section for the measured per-eval costs this buys).
 """
 
+import hashlib
+import os
+import tempfile
+from contextlib import contextmanager, nullcontext
 from itertools import permutations
 
 import numpy as np
@@ -37,6 +41,27 @@ import jax
 import jax.numpy as jnp
 
 from cosmax.models.growth import growth_solution
+
+
+@contextmanager
+def _f64_build():
+    """Build-time node tables are ALWAYS computed in f64 on the CPU
+    backend, whatever the runtime precision (ARCHITECTURE.md precision
+    policy: "build-time constants: f64 numpy, always").
+
+    This is load-bearing for the factorisation ranks, not cosmetic: an
+    f32 solve leaves ~5e-6 absolute rounding noise in the O(20) whitened
+    tables, and the radiation DELTA tables (max ~0.3) sit only ~4-5
+    orders above that — their singular spectrum develops a noise plateau
+    ABOVE the 1e-6*max|base| truncation tolerance, so the rank selection
+    chases noise to full rank (measured on the wzcdm chi2 term: delta
+    rank 23 -> 130 with the exact-table fallback, 169k vs ~25k
+    flops/eval; the base table inflates too, R 23 -> 35).
+    """
+    cpu = jax.devices("cpu")
+    dev = jax.default_device(cpu[0]) if cpu else nullcontext()
+    with dev, jax.enable_x64(True):
+        yield
 
 # generous default domains covering every preset's prior box
 DOMAINS = {
@@ -85,6 +110,84 @@ def _bary_weights(n):
 
 _TABLE_MEMO = {}
 
+# The numeric-code files whose behaviour the node tables depend on.
+# Their bytes are folded into every disk-cache key, so ANY edit to the
+# solver/quadrature stack invalidates cached tables — content
+# addressing, not versioning, which a test run cannot be fooled by.
+_SOLVER_SOURCES = (
+    "models/growth.py",
+    "models/growth_emulator.py",
+    "models/background.py",
+    "models/distances.py",
+    "ops/ode.py",
+    "ops/quadrature.py",
+)
+_SOURCE_HASH = None
+
+
+def _solver_source_hash():
+    global _SOURCE_HASH
+    if _SOURCE_HASH is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for rel in _SOLVER_SOURCES:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        _SOURCE_HASH = h.hexdigest()
+    return _SOURCE_HASH
+
+
+def _table_cache_path(kind, key):
+    """Content-addressed on-disk location for a build table, or None.
+
+    The w0wacdm chi2 build is ~2 x (40^3 + 20^3) f64 RK4 solves plus as
+    many GL-64 distance integrals — minutes of CPU per process
+    (`_TABLE_MEMO` is in-memory only). Tables are pure functions of the
+    memo key and the solver sources, so they are cached on disk next to
+    the XLA compile cache (cosmax.utils.cache) and shared by the test
+    suite, the CLIs, and bench. Set COSMAX_TABLE_CACHE=0 to disable,
+    or point it at a different directory.
+    """
+    root = os.environ.get(
+        "COSMAX_TABLE_CACHE", os.path.expanduser("~/.cache/cosmax_tables")
+    )
+    if root in ("", "0", "off"):
+        return None
+    h = hashlib.sha256()
+    h.update(_solver_source_hash().encode())
+    h.update(kind.encode())
+    h.update(repr(key).encode())
+    try:
+        os.makedirs(root, exist_ok=True)
+    except OSError:
+        return None
+    return os.path.join(root, h.hexdigest() + ".npy")
+
+
+def _table_cached(kind, key, build):
+    """Run ``build()`` through the on-disk table cache."""
+    path = _table_cache_path(kind, key)
+    if path is not None and os.path.exists(path):
+        try:
+            return np.load(path)
+        except Exception:
+            pass  # torn/corrupt file: rebuild and overwrite
+    out = build()
+    if path is not None:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path), suffix=".npy.tmp"
+        )
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, out)
+            os.replace(tmp, path)  # atomic vs concurrent writers
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+    return out
+
 
 def _solve_table(flat_params, to_params, map_tag, model, z_data, substeps):
     """ODE-solve fsigma8/sigma8 at every node of a flattened grid.
@@ -97,6 +200,9 @@ def _solve_table(flat_params, to_params, map_tag, model, z_data, substeps):
     ``map_tag`` names the to_params mapping in the memo key — functions
     don't hash by semantics, and byte-identical node grids under
     DIFFERENT coordinate mappings must not share a table.
+
+    Always solved in f64 on CPU (:func:`_f64_build`), so the memo is
+    shared across runtime-precision switches.
     """
     key = (
         np.asarray(flat_params, np.float64).tobytes(),
@@ -104,7 +210,6 @@ def _solve_table(flat_params, to_params, map_tag, model, z_data, substeps):
         model,
         np.asarray(z_data, np.float64).tobytes(),
         substeps,
-        bool(jax.config.jax_enable_x64),
     )
     if key in _TABLE_MEMO:
         return _TABLE_MEMO[key]
@@ -116,7 +221,13 @@ def _solve_table(flat_params, to_params, map_tag, model, z_data, substeps):
         dd = jnp.interp(a_z, a_grid, ddelta)
         return a_z * dd / delta[-1]
 
-    out = np.asarray(jax.vmap(solve_one)(jnp.asarray(flat_params)))
+    def build():
+        with _f64_build():
+            return np.asarray(
+                jax.vmap(solve_one)(jnp.asarray(flat_params, jnp.float64))
+            )
+
+    out = _table_cached("solve", key, build)
     _TABLE_MEMO[key] = out
     return out
 
@@ -483,7 +594,7 @@ def _contract(weights, rep, b_j):
     )
 
 
-def _edm_table(flat_params, to_params, model, z_data, order=64):
+def _edm_table(flat_params, to_params, map_tag, model, z_data, order=64):
     """E(z_i) * int_0^{z_i} dz'/E at every node of a flattened grid.
 
     The AP-correction numerator (reference fs8/fs8.py:26-32,75) is a
@@ -494,15 +605,23 @@ def _edm_table(flat_params, to_params, model, z_data, order=64):
     from cosmax.models.background import e_of_z
     from cosmax.models.distances import comoving_integral_gl
 
-    z_j = jnp.asarray(z_data)
+    z64 = np.asarray(z_data, np.float64)
+    fp64 = np.asarray(flat_params, np.float64)
 
     def one(theta):
+        z_j = jnp.asarray(z64)
         p = to_params(theta)
         return e_of_z(z_j, p, model) * comoving_integral_gl(
             z_j, p, model, order=order
         )
 
-    return np.asarray(jax.vmap(one)(jnp.asarray(flat_params)))
+    def build():
+        with _f64_build():
+            return np.asarray(jax.vmap(one)(jnp.asarray(fp64)))
+
+    # map_tag stands in for to_params, as in :func:`_solve_table`
+    key = (fp64.tobytes(), map_tag, model, z64.tobytes(), order)
+    return _table_cached("edm", key, build)
 
 
 def _svd_rank_factor(stacked, tol):
@@ -534,40 +653,44 @@ def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
     ``delta`` is (du, dv), the SAME two tables evaluated at Or=OR_REF
     minus their Or=0 values, on the coarse ``c_node_shape`` grid — the
     radiation correction (t = Or / OR_REF interpolates the residual
-    affinely in Or). The deltas get their OWN z-SVD (small rank Rd —
-    they are ~60x smaller than the base and simpler) and their own
-    parameter-axis compression on the coarse grid; stacking them into
-    the base SVD instead inflates both R and m (measured 25k -> 78k
-    flops/eval on the wzcdm term), and emulating the six product
-    scalars u.du, ... directly under-resolves the base factor's
-    spectral content on any affordable grid (measured 5.8e-3 chi2
-    error at the w0wacdm bulk).
+    affinely in Or). Base and delta rows share ONE z-SVD: with the
+    f64-built tables (:func:`_f64_build`) the delta curves lie inside
+    the base z-span (the joint rank equals the base-only rank,
+    measured on both the 2- and 3-axis families), so the shared basis
+    costs no rank and the whole radiation correction collapses to an
+    axpy in rank space — no second residual basis, no second [., 2m]
+    matmul, and m <= min(N, 2R) exactly as without radiation.
+    (Emulating the six product scalars u.du, ... directly instead
+    under-resolves the base factor's spectral content on any
+    affordable grid — measured 5.8e-3 chi2 error at the w0wacdm bulk.)
 
-    Build: f64 SVDs give A [*node_shape, R] / Ad [*c_node_shape, Rd];
-    an orthonormal basis Q of the COMBINED residual span (columns of
-    Bu^T|Bv^T|Bdu^T|Bdv^T, dimension m <= min(N, 2R + 2Rd)) rotates
-    every side into R^m without changing the 2-norm, so the runtime
-    never materialises a length-N vector: per walker one barycentric
-    contraction to a [R] (plus a coarse one to a [Rd] when radiation
-    is on), one [R, 2m] (+ one [Rd, 2m]) matmul, and an axpy +
-    square-reduce. Every truncation is held to <= 1e-6 * max|base|
-    elementwise — the same relative contract as the value emulator
-    (tests assert the chi^2 agreement directly).
+    Build: one f64 SVD of the row-concatenated [M + Mc, 2N] table
+    gives A [*node_shape, R] and Ad [*c_node_shape, R] over a shared
+    B [R, 2N]; an orthonormal basis Q of the residual span (columns
+    of Bu^T|Bv^T, dimension m <= min(N, 2R)) rotates both sides into
+    R^m without changing the 2-norm, so the runtime never
+    materialises a length-N vector: per walker one barycentric
+    contraction to a [R] (plus a coarse one when radiation is on and
+    an axpy in R^R), one [R, 2m] matmul, and an axpy + square-reduce.
+    Every truncation is held to <= 1e-6 * max|base| elementwise — the
+    same relative contract as the value emulator (tests assert the
+    chi^2 agreement directly).
     """
     n = base[0].shape[1]
     stacked = np.concatenate(base, axis=1)  # [M, 2N]
     tol = 1e-6 * np.max(np.abs(stacked))
-    a_fac, b = _svd_rank_factor(stacked, tol)
     dstacked = np.concatenate(delta, axis=1)  # [Mc, 2N]
-    ad_fac, bd = _svd_rank_factor(dstacked, tol)
+    a_all, b = _svd_rank_factor(
+        np.concatenate([stacked, dstacked], axis=0), tol
+    )
+    a_fac, ad_fac = a_all[: stacked.shape[0]], a_all[stacked.shape[0] :]
 
-    cols = [b[:, :n], b[:, n:], bd[:, :n], bd[:, n:]]
-    z = np.concatenate([c.T for c in cols], axis=1)  # [N, 2R + 2Rd]
+    bu, bv = b[:, :n], b[:, n:]
+    z = np.concatenate([bu.T, bv.T], axis=1)  # [N, 2R]
     qu, qs, _ = np.linalg.svd(z, full_matrices=False)
     m = max(int(np.sum(qs > 1e-12 * qs[0])), 1)
     q = qu[:, :m]  # [N, m] orthonormal residual basis
-    ct = np.concatenate([(q.T @ c.T).T for c in cols[:2]], axis=1)
-    ctd = np.concatenate([(q.T @ c.T).T for c in cols[2:]], axis=1)
+    ct = np.concatenate([(q.T @ bu.T).T, (q.T @ bv.T).T], axis=1)
     # composed parameter-axis cut + z-cut held to the SAME contract as
     # the z-cut alone, verified against the original stacked tables
     rep = _compress(
@@ -577,23 +700,22 @@ def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
         ad_fac.reshape(*c_node_shape, -1),
         c_node_shape,
         tol,
-        proj=bd,
+        proj=b,
         ref=dstacked,
     )
-    return rep, jnp.asarray(ct), repd, jnp.asarray(ctd), m
+    return rep, jnp.asarray(ct), repd, m
 
 
 def _chi2_from_block(weights, rep, ct, m, sigma8, delta=None):
     """chi2 = |y_u - sigma8 y_v|^2 in the m-dim residual basis;
-    ``delta = (cweights, repd, ctd, t_or)`` adds the radiation
-    correction t * (yd_u - sigma8 yd_v) to the residual first."""
+    ``delta = (cweights, repd, t_or)`` adds the radiation correction
+    t * ad to the shared rank-space coefficient first."""
     hi = jax.lax.Precision.HIGHEST
     a = _coeff(weights, rep)  # [R]
-    y = jnp.tensordot(a, ct, axes=(0, 0), precision=hi)
     if delta is not None:
-        cweights, repd, ctd, t_or = delta
-        ad = _coeff(cweights, repd)  # [Rd]
-        y = y + t_or * jnp.tensordot(ad, ctd, axes=(0, 0), precision=hi)
+        cweights, repd, t_or = delta
+        a = a + t_or * _coeff(cweights, repd)  # shared z basis
+    y = jnp.tensordot(a, ct, axes=(0, 0), precision=hi)
     r = y[:m] - sigma8 * y[m:]
     return jnp.sum(r * r)
 
@@ -659,7 +781,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         v_tab = _solve_table(
             flat_params, to_params, map_tag, model, z_data, substeps
         )
-        q_tab = _edm_table(flat_params, to_params, model, z_data)
+        q_tab = _edm_table(flat_params, to_params, map_tag, model, z_data)
         return (obs_over_fid * q_tab) @ linv.T, v_tab @ linv.T
 
     def factor(axes, to_params, map_tag):
@@ -673,10 +795,10 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         # curvature of the tables themselves (measured < 9e-4 in chi2
         # near the posterior bulk; tests pin the multiprobe-style
         # agreement). The delta tables are built on the coarse
-        # OR_DELTA_NODES grid and factored into their own small
-        # rank-space program sharing the base's residual basis
-        # (:func:`_whitened_chi2_factor`) — the base program's cost is
-        # untouched when radiation is off.
+        # OR_DELTA_NODES grid and compressed into the base's SHARED
+        # z-SVD rank space (:func:`_whitened_chi2_factor`), so the
+        # whole correction is an axpy on the rank-space coefficient —
+        # the base program's cost is untouched when radiation is off.
         node_shape = [len(ax) for ax in axes]
         u0, vw0 = whitened_pair(_flatten_grid(axes), to_params, map_tag)
         to_params_or = lambda th: dict(to_params(th), Or=OR_REF)
@@ -689,7 +811,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         u1c, vw1c = whitened_pair(
             cflat, to_params_or, (map_tag, "or", OR_REF)
         )
-        rep, ct, repd, ctd, m = _whitened_chi2_factor(
+        rep, ct, repd, m = _whitened_chi2_factor(
             (np.asarray(u0, np.float64), np.asarray(vw0, np.float64)),
             node_shape,
             (
@@ -700,7 +822,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         )
         c_axes_j = [jnp.asarray(ax) for ax in c_axes]
         c_bw = jnp.asarray(_bary_weights(len(c_axes[0])))
-        return rep, ct, repd, ctd, m, c_axes_j, c_bw
+        return rep, ct, repd, m, c_axes_j, c_bw
 
     if model == "w0wacdm":
         # split-axis treatment, same rationale as _make_fs8_emulator_w0wa
@@ -732,14 +854,14 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             w_om = _bary_vector(p["Om"], om_j, bw)
             w_wa = _bary_vector(p["wa"], wa_j, bw)
             outs = []
-            for s_ax, rep, ct, repd, ctd, m, c_axes_j, c_bw in halves:
+            for s_ax, rep, ct, repd, m, c_axes_j, c_bw in halves:
                 delta = None
                 if orr is not None:
                     cw = [
                         _bary_vector(x, ax, c_bw)
                         for x, ax in zip((p["Om"], p["wa"], s), c_axes_j)
                     ]
-                    delta = (cw, repd, ctd, orr / OR_REF)
+                    delta = (cw, repd, orr / OR_REF)
                 outs.append(
                     _chi2_from_block(
                         [w_om, w_wa, _bary_vector(s, s_ax, bw)],
@@ -759,7 +881,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     if n_nodes is None:
         n_nodes = {1: 48, 2: 32}[ndim_p]
     axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
-    rep, ct, repd, ctd, m, c_axes_j, c_bw = factor(
+    rep, ct, repd, m, c_axes_j, c_bw = factor(
         axes,
         lambda theta: dict(zip(pnames, theta)),
         ("native",) + pnames,
@@ -779,7 +901,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
                 _bary_vector(p[name], nodes, c_bw)
                 for name, nodes in zip(pnames, c_axes_j)
             ]
-            delta = (cw, repd, ctd, orr / OR_REF)
+            delta = (cw, repd, orr / OR_REF)
         return _chi2_from_block(weights, rep, ct, m, p["sigma8"], delta)
 
     return chi2

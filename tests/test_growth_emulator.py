@@ -256,3 +256,43 @@ def test_fast_fs8_term_matches_parity_w0wacdm_crease(x64):
         b = float(sum(slow.chi2_breakdown()(theta).values()))
         # rel tolerance: see test_fast_fs8_term_matches_parity_wzcdm
         assert a == pytest.approx(b, rel=3e-6, abs=1e-3), theta
+
+
+def test_table_disk_cache_roundtrip(tmp_path, monkeypatch):
+    # _table_cached is content-addressed (memo key + solver-source
+    # bytes): a second build with the same key must come back from disk
+    # bit-for-bit, a corrupt file must fall back to a rebuild, and
+    # COSMAX_TABLE_CACHE=0 must bypass the disk entirely.
+    import os
+
+    from cosmax.models import growth_emulator as ge
+
+    monkeypatch.setenv("COSMAX_TABLE_CACHE", str(tmp_path))
+    calls = []
+
+    def build():
+        calls.append(1)
+        return np.arange(6, dtype=np.float64).reshape(2, 3)
+
+    key = ("k", 1)
+    a = ge._table_cached("solve", key, build)
+    b = ge._table_cached("solve", key, build)
+    assert len(calls) == 1 and np.array_equal(a, b)
+    # distinct kind => distinct entry
+    ge._table_cached("edm", key, build)
+    assert len(calls) == 2
+    # corrupt the file: must rebuild, not crash
+    (path,) = [
+        os.path.join(tmp_path, f)
+        for f in os.listdir(tmp_path)
+        if ge._table_cache_path("solve", key).endswith(f)
+    ]
+    with open(path, "wb") as f:
+        f.write(b"garbage")
+    c = ge._table_cached("solve", key, build)
+    assert len(calls) == 3 and np.array_equal(a, c)
+
+    monkeypatch.setenv("COSMAX_TABLE_CACHE", "0")
+    ge._table_cached("solve", ("other", 2), build)
+    assert len(calls) == 4
+    assert ge._table_cache_path("solve", ("other", 2)) is None
