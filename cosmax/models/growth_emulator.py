@@ -58,7 +58,10 @@ def _f64_build():
     rank 23 -> 130 with the exact-table fallback, 169k vs ~25k
     flops/eval; the base table inflates too, R 23 -> 35).
     """
-    cpu = jax.devices("cpu")
+    try:
+        cpu = jax.devices("cpu")
+    except RuntimeError:  # platform hidden (e.g. JAX_PLATFORMS pins)
+        cpu = []
     dev = jax.default_device(cpu[0]) if cpu else nullcontext()
     with dev, jax.enable_x64(True):
         yield

@@ -300,3 +300,30 @@ def test_all_dots_pin_highest_precision():
     dots = collect_dots(jax.make_jaxpr(s.step)(state).jaxpr, [])
     bad = [p for p in dots if p != highest]
     assert not bad, f"sampler step: {len(bad)}/{len(dots)} dots not HIGHEST"
+
+
+def test_multiprobe_fast_tracks_parity_per_term(x64):
+    # Joint-level fast-vs-parity net over every term TYPE at once, with
+    # the preset's radiation injection (Or ~ 1e-4 via derive) active —
+    # the class of bug this pins: a fast-path emulator silently
+    # ignoring a parameter the parity path threads through (the fs8
+    # chi2 emulator did exactly that for Or before round 3; chi2 was
+    # off by ~0.22 at the multiprobe mid-box).
+    import numpy as np
+
+    from cosmax.configs import get_preset
+
+    fast = get_preset("joint.multiprobe", "wzcdm", fast=True)
+    par = get_preset("joint.multiprobe", "wzcdm")
+    lo, hi = par.spec.bounds[:, 0], par.spec.bounds[:, 1]
+    theta = 0.5 * (lo + hi)
+    fb = fast.chi2_breakdown()(theta)
+    pb = par.chi2_breakdown()(theta)
+    assert set(fb) == set(pb)
+    for k in pb:
+        a, b = float(pb[k]), float(fb[k])
+        # fs8 bound: the emulator truncation contract is absolute in
+        # whitened units, so allow 2*sqrt(chi2)*1e-4 there; sn is the
+        # K=32 Chebyshev contract (rel 3e-6, chi2 ~ 2e3 at mid-box)
+        tol = 2e-2 if k in ("fs8", "sn") else 5e-3
+        assert a == pytest.approx(b, abs=tol), (k, a, b)
