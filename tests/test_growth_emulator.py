@@ -296,3 +296,39 @@ def test_table_disk_cache_roundtrip(tmp_path, monkeypatch):
     ge._table_cached("solve", ("other", 2), build)
     assert len(calls) == 4
     assert ge._table_cache_path("solve", ("other", 2)) is None
+
+
+def test_fast_fs8_chi2_gradient_matches_parity(x64):
+    # HMC differentiates the fast path; the emulator's gradient must
+    # track the parity path's (through the shared-z-basis radiation
+    # delta too — d/dOr flows through the coarse barycentric vectors
+    # and the rank-space axpy). Measured rel agreement ~1e-5 (1e-4 for
+    # d/dOr whose truth is itself a secant-scale quantity); pinned an
+    # order looser. wzcdm only: the w0wacdm parity-grad build is
+    # minutes of compile for no extra code coverage (same _chi2_from_
+    # block path; its value agreement is pinned above).
+    import jax
+    import jax.numpy as jnp
+
+    from cosmax.data import load_fs8
+    from cosmax.likelihoods.fs8 import build_fs8_term
+    from cosmax.likelihoods.fastmode import use_fast_mode
+
+    ds = load_fs8()
+    par = build_fs8_term(ds, "wzcdm")
+    with use_fast_mode():
+        fast = build_fs8_term(ds, "wzcdm")
+    names = ("Om", "w0", "sigma8", "Or")
+
+    def grad_of(term):
+        def f(vec):
+            p = dict(zip(names, vec))
+            p["f_err"] = 1.0
+            return term.chi2(p)
+
+        return jax.grad(f)
+
+    x = jnp.asarray([0.31, -1.0, 0.81, 1e-4])
+    gp = np.asarray(grad_of(par)(x))
+    gf = np.asarray(grad_of(fast)(x))
+    np.testing.assert_allclose(gf, gp, rtol=2e-3)

@@ -267,9 +267,13 @@ All 43 configs reproduce the same posteriors:
   every row where it is quoted (worst |d chi2| = 0.49 on cc.cc, the
   row with the largest published rounding).
 * After the round-3 fs8 fast-path rework (whitened rank-space chi2
-  emulator with Tucker/TT-factored tables), the fs8 configs were
-  re-cross-checked with HMC through the new path: worst z
-  0.033/0.049/0.024 (lcdm/wcdm/wzcdm), matching the ensemble rows.
+  emulator with Tucker/TT-factored f64 tables and the shared-z-basis
+  radiation correction), the fs8 configs were re-cross-checked with
+  HMC through the new path: worst z 0.032/0.048/0.023
+  (lcdm/wcdm/wzcdm), matching the ensemble rows. The emulator's
+  gradient — what HMC actually integrates — matches the parity path
+  to ~1e-5 relative (~1e-4 for d/dOr through the radiation delta;
+  pinned in tests/test_growth_emulator.py).
 
 Two samplers with disjoint failure modes (affine-invariant moves vs
 Hamiltonian dynamics on a dense metric) agreeing on all 43 posteriors
