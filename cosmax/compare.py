@@ -151,6 +151,7 @@ def main(argv=None):
     # Save/restore the global config — tests invoke main() in-process,
     # and leaking x64 into the rest of a pytest session makes later
     # f32 tests order-dependent.
+    prev_env = os.environ.get("JAX_PLATFORMS")
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -171,8 +172,13 @@ def main(argv=None):
         )
     finally:
         jax.config.update("jax_enable_x64", prev_x64)
-        if prev_platforms is not None:
-            jax.config.update("jax_platforms", prev_platforms)
+        # restoring None is valid (it means "auto-select"): skipping it
+        # would leak the cpu pin into the rest of an in-process session
+        jax.config.update("jax_platforms", prev_platforms)
+        if prev_env is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = prev_env
     ss_hdr = "  ss: ln Z - ln Z_lcdm" if args.sampled_evidence else ""
     hdr = (f"{'model':10s} {'chi2_min':>9s} {'dchi2':>7s} {'k':>2s} "
            f"{'AIC':>9s} {'BIC':>9s} {'ln Z - ln Z_lcdm':>17s}{ss_hdr}")

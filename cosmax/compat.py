@@ -70,8 +70,10 @@ def _split_blobs(log_prob_fn, ndim):
         return log_prob_fn(x)[0]
 
     def blob_fn(x):
-        r = log_prob_fn(x)
-        return r[1] if len(r) == 2 else jnp.stack(list(r[1:]))
+        # always a tuple of the raw blob values; get_blobs decides the
+        # layout (emcee stacks homogeneous blobs, keeps heterogeneous
+        # ones as object cells)
+        return tuple(log_prob_fn(x)[1:])
 
     return lp, blob_fn
 
@@ -182,7 +184,20 @@ class EnsembleSampler:
         samples = np.asarray(self._chain.samples)[discard::thin]
         t, w = samples.shape[:2]
         flat_pos = samples.reshape(t * w, self.ndim)
-        blobs = np.asarray(jax.jit(jax.vmap(self._blob_fn))(flat_pos))
+        outs = [
+            np.asarray(o)
+            for o in jax.jit(jax.vmap(self._blob_fn))(flat_pos)
+        ]
+        if len(outs) == 1:
+            blobs = outs[0]
+        elif len({o.shape[1:] for o in outs}) == 1:
+            blobs = np.stack(outs, axis=1)  # [t*w, k, ...]
+        else:
+            # heterogeneous blob shapes: emcee falls back to object
+            # cells holding each walker's blob tuple
+            blobs = np.empty(t * w, dtype=object)
+            for i in range(t * w):
+                blobs[i] = tuple(o[i] for o in outs)
         blobs = blobs.reshape((t, w) + blobs.shape[1:])
         return blobs.reshape((t * w,) + blobs.shape[2:]) if flat else blobs
 
@@ -276,10 +291,12 @@ class NpzBackend:
     def save(self, state, chain):
         import jax
 
-        d = os.path.dirname(os.path.abspath(self.filename))
-        os.makedirs(d, exist_ok=True)
-        np.savez_compressed(
+        from cosmax.samplers.checkpoints import atomic_savez
+
+        # atomic: a crash mid-save must not destroy the prior history
+        atomic_savez(
             self.filename,
+            compressed=True,
             samples=np.asarray(chain.samples),
             log_probs=np.asarray(chain.log_probs),
             accepted=np.asarray(chain.accepted),

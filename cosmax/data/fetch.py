@@ -238,7 +238,10 @@ def patch_store(
 
     for k, v in (provenance or {}).items():
         b[k] = np.asarray(v)
-    np.savez_compressed(path, **b)
+    from cosmax.utils.io import atomic_savez
+
+    # atomic: a crash mid-patch must not corrupt the data store
+    atomic_savez(path, compressed=True, **b)
     # a long-lived process must see the patched bundle on next load
     from cosmax.data.loaders import _bundle
 

@@ -34,9 +34,10 @@ QTY_CODES = {"DV_over_rs": 0, "DM_over_rs": 1, "DH_over_rs": 2}
 
 
 def _save(name, **arrays):
-    os.makedirs(STORE, exist_ok=True)
+    from cosmax.utils.io import atomic_savez
+
     path = os.path.join(STORE, f"{name}.npz")
-    np.savez_compressed(path, **arrays)
+    atomic_savez(path, compressed=True, **arrays)
     sizes = {k: getattr(v, "shape", None) for k, v in arrays.items()}
     print(f"wrote {path}: {sizes}")
 

@@ -36,7 +36,10 @@ def _dot_rewrite(params, lhs, rhs):
     explicit broadcast-multiply-reduce (exact f32 on the VPU, fine at
     the tiny K<=65 contractions cosmax likelihoods produce)."""
     (lc, rc), (lb, rb) = params["dimension_numbers"]
-    if not lb and not rb and lhs.ndim == 2 and rhs.ndim == 2:
+    # len(lc) == 1: a two-axis contraction (e.g. a Frobenius inner
+    # product) must take the general multiply-reduce path below — the
+    # transpose logic here assumes exactly one contracting dim
+    if not lb and not rb and lhs.ndim == 2 and rhs.ndim == 2 and len(lc) == 1:
         lt = lhs if lc == (1,) else lhs.T
         rt = rhs if rc == (0,) else rhs.T
         return lax.dot_general(

@@ -25,11 +25,11 @@ import jax.numpy as jnp
 
 from cosmax.samplers.ensemble import ChainState
 from cosmax.samplers.hmc import HMCState
+from cosmax.utils.io import atomic_savez  # noqa: F401  (re-exported)
 
 
 def _save_fields(path: str, kind: str, key, fields: dict, metadata: dict = None):
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(
+    atomic_savez(
         path,
         kind=np.asarray(kind),
         key_data=np.asarray(jax.random.key_data(key)),
@@ -137,6 +137,16 @@ def run_with_checkpoints(
     every = -(-every // thin) * thin
     if os.path.exists(path):
         state = load_state(path)
+        got = tuple(np.asarray(state.walkers).shape)
+        want = (sampler.n_walkers, sampler.ndim)
+        if got != want:
+            raise ValueError(
+                f"checkpoint {path} holds a [{got[0]}, {got[1]}]-walker "
+                f"state but the sampler is configured for "
+                f"[{want[0]}, {want[1]}] — refusing to resume a "
+                "different run (delete the file or match "
+                "--walkers/--preset to extend it)"
+            )
         start = int(state.step)
         if start >= n_steps:
             # already complete — also covers re-running a finished job
@@ -205,6 +215,16 @@ def run_hmc_with_checkpoints(
         raise ValueError(f"checkpoint interval must be >= 1 (got {every})")
     if os.path.exists(path):
         state, eps, im, done, meta = load_hmc_state(path)
+        got = tuple(np.asarray(state.y).shape)
+        want = (sampler.n_chains, sampler.ndim)
+        if got != want:
+            raise ValueError(
+                f"checkpoint {path} holds a [{got[0]}, {got[1]}]-chain "
+                f"hmc state but the sampler is configured for "
+                f"[{want[0]}, {want[1]}] — refusing to resume a "
+                "different run (delete the file or match "
+                "--walkers/--preset to extend it)"
+            )
         sampler.warmup_retries = int(meta.get("warmup_retries", 0))
         sampler.n_rejuvenated = int(meta.get("n_rejuvenated", 0))
         sampler.step_size = np.asarray(eps)

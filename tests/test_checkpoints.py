@@ -1,6 +1,7 @@
 """File round-trip and resume-equivalence tests for sampler
 checkpointing (cosmax/samplers/checkpoints.py)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -256,3 +257,56 @@ def test_checkpoint_kind_mismatch_rejected(tmp_path):
     save_hmc_state(hpath, hstate, eps, im, 0)
     with pytest.raises(ValueError, match="hmc"):
         load_state(hpath)
+
+
+def test_resume_shape_mismatch_rejected(tmp_path):
+    # A checkpoint from a different run configuration must refuse to
+    # resume, not silently sample the old shapes under the new flags.
+    path = str(tmp_path / "ck.npz")
+    s16 = _sampler(16)
+    run_with_checkpoints(
+        s16, jax.random.PRNGKey(0), jnp.zeros((16, 2)), 8, path, every=4
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_with_checkpoints(
+            _sampler(32), jax.random.PRNGKey(0), jnp.zeros((32, 2)), 16,
+            path, every=4,
+        )
+
+
+def test_hmc_resume_shape_mismatch_rejected(tmp_path):
+    from cosmax.samplers.checkpoints import run_hmc_with_checkpoints
+    from cosmax.samplers.hmc import HMCSampler
+
+    bounds = np.array([[-5.0, 5.0], [-5.0, 5.0]])
+    path = str(tmp_path / "hmc.npz")
+    run_hmc_with_checkpoints(
+        HMCSampler(gauss_lp, bounds, 8), jax.random.PRNGKey(0), 6, path,
+        every=3, n_warmup=20,
+    )
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_hmc_with_checkpoints(
+            HMCSampler(gauss_lp, bounds, 16), jax.random.PRNGKey(0), 12,
+            path, every=3, n_warmup=20,
+        )
+
+
+def test_atomic_savez_survives_failed_rewrite(tmp_path, monkeypatch):
+    # A crash mid-save must leave the previous good checkpoint intact:
+    # atomic_savez stages into a temp file and renames.
+    import cosmax.samplers.checkpoints as ck
+
+    path = str(tmp_path / "a.npz")
+    ck.atomic_savez(path, x=np.arange(3))
+    before = np.load(path)["x"].copy()
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(np, "savez", boom)
+    with pytest.raises(OSError):
+        ck.atomic_savez(path, x=np.arange(5))
+    after = np.load(path)["x"]
+    np.testing.assert_array_equal(after, before)
+    leftovers = [p for p in tmp_path.iterdir() if p.suffix == ".tmp"]
+    assert not leftovers

@@ -206,3 +206,41 @@ def test_get_blobs_none_without_blobs():
     p0 = MU + 0.1 * np.random.default_rng(4).standard_normal((16, 2))
     s.run_mcmc(p0, 5)
     assert s.get_blobs() is None
+
+
+def test_get_blobs_heterogeneous_shapes():
+    # emcee supports blobs of differing shapes (object cells); a
+    # (logp, scalar, vector) signature must not crash get_blobs.
+    icov = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.3], [0.3, 0.5]])))
+
+    def log_prob(theta):
+        d = theta - jnp.asarray(MU)
+        chi2 = d @ icov @ d
+        return -0.5 * chi2, chi2, d  # scalar + length-2 vector
+
+    sampler = EnsembleSampler(8, 2, log_prob, seed=0)
+    p0 = MU + 0.1 * np.random.default_rng(0).standard_normal((8, 2))
+    sampler.run_mcmc(p0, 5)
+    blobs = sampler.get_blobs()
+    assert blobs.shape == (5, 8) and blobs.dtype == object
+    chi2_cell, d_cell = blobs[0, 0]
+    assert np.shape(chi2_cell) == () and np.shape(d_cell) == (2,)
+    flat = sampler.get_blobs(flat=True)
+    assert flat.shape == (40,)
+
+
+def test_get_blobs_homogeneous_multi():
+    # two same-shaped blobs keep emcee's stacked [steps, walkers, 2]
+    icov = jnp.asarray(np.linalg.inv(np.array([[1.0, 0.3], [0.3, 0.5]])))
+
+    def log_prob(theta):
+        d = theta - jnp.asarray(MU)
+        chi2 = d @ icov @ d
+        return -0.5 * chi2, chi2, 2.0 * chi2
+
+    sampler = EnsembleSampler(8, 2, log_prob, seed=0)
+    p0 = MU + 0.1 * np.random.default_rng(0).standard_normal((8, 2))
+    sampler.run_mcmc(p0, 5)
+    blobs = sampler.get_blobs()
+    assert blobs.shape == (5, 8, 2)
+    np.testing.assert_allclose(blobs[..., 1], 2.0 * blobs[..., 0], rtol=1e-6)

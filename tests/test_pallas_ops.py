@@ -73,3 +73,35 @@ def test_megakernel_blocked_log_prob_matches_vmap():
     )
     assert got.shape == (70,)
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-3 * np.abs(ref).max())
+
+
+def test_dot_rewrite_two_axis_contraction():
+    # A dot_general contracting TWO axes (Frobenius inner product,
+    # jnp.tensordot(a, b, axes=2)) must take the general
+    # multiply-reduce path — the rank-2 fast path's transpose logic
+    # assumes exactly one contracting dim and would mis-rewrite it.
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cosmax.ops.pallas.megakernel import _dot_rewrite
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 4)).astype(np.float32)
+    b = rng.standard_normal((3, 4)).astype(np.float32)
+    params = {
+        "dimension_numbers": (((0, 1), (0, 1)), ((), ())),
+        "precision": None,
+        "preferred_element_type": None,
+    }
+    got = np.asarray(_dot_rewrite(params, jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, float(np.sum(a * b)), rtol=1e-5)
+    # and the single-axis fast path still matches a plain matmul
+    params1 = {
+        "dimension_numbers": (((1,), (0,)), ((), ())),
+        "precision": None,
+        "preferred_element_type": None,
+    }
+    got1 = np.asarray(
+        _dot_rewrite(params1, jnp.asarray(a), jnp.asarray(b.T.copy()))
+    )
+    np.testing.assert_allclose(got1, a @ b.T, rtol=1e-5)

@@ -81,6 +81,12 @@ def main(argv=None):
             return (flops or 0.0) / w, (nbytes or 0.0) / w
 
         f_full, b_full = cost(fit_full)
+        if not f_full:
+            # _cost_analysis returns (None, None) when the backend's
+            # cost_analysis() is unavailable — degrade, don't divide
+            print("cost analysis unavailable on this backend; "
+                  "use wall-time mode (drop --cost)")
+            return
         print(
             f"full ({len(fit_full.terms)} terms): "
             f"{f_full:.0f} flops/eval, {b_full:.0f} logical bytes/eval"
@@ -88,11 +94,13 @@ def main(argv=None):
         for term in fit_full.terms:
             rest = tuple(t for t in fit_full.terms if t is not term)
             f_wo, b_wo = cost(replace(fit_full, terms=rest))
+            bshare = (
+                f" ({100 * (b_full - b_wo) / b_full:5.1f}%)" if b_full else ""
+            )
             print(
                 f"  {term.name:12s}: {f_full - f_wo:9.0f} flops "
                 f"({100 * (f_full - f_wo) / f_full:5.1f}%)  "
-                f"{b_full - b_wo:8.0f} bytes "
-                f"({100 * (b_full - b_wo) / b_full:5.1f}%)"
+                f"{b_full - b_wo:8.0f} bytes" + bshare
             )
         return
 

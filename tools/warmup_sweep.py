@@ -15,9 +15,9 @@ Usage::
         [--model w0wacdm] [--seeds 20] [--chains 128] [--warmup 800]
 
 Prints one line per seed (rejuvenated count, retries) and a final
-summary: seeds with warmup_retries > 0 ("lottery losses") and seeds
-whose FIRST warmup failed the health check (the pre-retry rate, i.e.
-what the retry mechanism would have had to absorb).
+summary: seeds whose first warmup failed the health check (identical
+to "seeds with retries" by construction — a retry fires iff the first
+warmup failed) and seeds still unhealthy after the retry budget.
 """
 
 import argparse
@@ -58,7 +58,6 @@ def main(argv=None):
           f"warmup {args.warmup}, devices {jax.devices()}")
 
     first_fail = 0
-    retried = 0
     exhausted = 0
     for seed in range(args.seeds):
         k_init, k_run = jax.random.split(jax.random.PRNGKey(seed))
@@ -74,7 +73,6 @@ def main(argv=None):
         frac = n_rej / args.chains
         # a retry happened iff the FIRST warmup failed the health check
         first_fail += n_ret > 0
-        retried += n_ret > 0
         exhausted += n_ret >= 2 and frac > 0.2
         print(f"seed {seed:2d}: rejuvenated {n_rej:4d}/{args.chains} "
               f"({frac:5.1%}), retries {n_ret}, "
@@ -83,8 +81,7 @@ def main(argv=None):
         "preset": args.preset, "model": args.model,
         "seeds": args.seeds, "chains": args.chains,
         "warmup": args.warmup,
-        "first_warmup_failures": first_fail,
-        "seeds_with_retries": retried,
+        "first_warmup_failures": first_fail,  # == seeds with retries
         "seeds_still_unhealthy_after_retries": exhausted,
     }))
     return 0
