@@ -40,9 +40,11 @@ Per-dataset conversion to the store keys:
 * ``union21``: full systematic covariance in release row order; the
   store is z-sorted, so the companion mu-vs-z table provides the
   permutation, cross-checked the same way -> saved as ``cov``.
-* ``pantheon18``: systematics-only matrix in lcparam row order = store
-  row order -> ``cov_sys`` (the loader re-adds diag(dmb^2),
-  loaders.py:232).
+* ``pantheon18``: systematics-only matrix in lcparam row order; the
+  store is z-sorted (ingest_pantheon18 / y2018pantheon/data.py:20-29),
+  so the companion lcparam table provides the argsort(zcmb)
+  permutation, cross-checked against the bundle -> ``cov_sys`` (the
+  loader re-adds diag(dmb^2), loaders.py:232).
 
 Integrity: each payload's size must match the published dataset
 (_EXPECTED_N); gross asymmetry is refused as format drift; the sha256
@@ -123,7 +125,10 @@ _URLS = {
         "https://raw.githubusercontent.com/dscolnic/Pantheon/master/"
         "sys_full_long.txt",
         "nfirst",
-        None,
+        # companion: lcparam zcmb column -> sort permutation (the sys
+        # matrix is in lcparam row order; the store is z-sorted)
+        "https://raw.githubusercontent.com/dscolnic/Pantheon/master/"
+        "lcparam_full_long.txt",
     ),
 }
 
@@ -141,6 +146,15 @@ def parse_redshifts(raw: bytes, dataset: str) -> np.ndarray:
         # '#'-commented, tab-separated: name, z, mu, err[, p_host]
         vals = [
             ln.split("\t")[1]
+            for ln in text.splitlines()
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+        return np.array([float(v) for v in vals])
+    if dataset == "pantheon18":
+        # lcparam_full_long.txt: '#name zcmb zhel dz mb ...' header,
+        # whitespace-separated; zcmb is column 1
+        vals = [
+            ln.split()[1]
             for ln in text.splitlines()
             if ln.strip() and not ln.lstrip().startswith("#")
         ]
@@ -203,7 +217,13 @@ def patch_store(
                 f"{dataset} store rows are z-sorted; the companion "
                 "redshift table is required to permute the covariance"
             )
-        order = np.argsort(np.asarray(raw_z, dtype=np.float64))
+        # kind="stable" matches the ingest sorts: all three z-sorted
+        # datasets contain duplicate redshifts, and the default
+        # introsort's tie order is implementation-defined — a fetch
+        # run under a different numpy than the ingest would otherwise
+        # pair covariance rows with the wrong same-z supernova, which
+        # the sorted-z cross-check below cannot detect
+        order = np.argsort(np.asarray(raw_z, dtype=np.float64), kind="stable")
         if not np.allclose(np.asarray(raw_z)[order], bundle_z, atol=1e-8):
             raise ValueError(
                 f"{dataset}: sorted release redshifts do not match the "
@@ -232,7 +252,10 @@ def patch_store(
         b["cov"] = zsort(b["z"])
     elif dataset == "pantheon18":
         _check_shape(cov, len(b["mb"]))
-        b["cov_sys"] = cov
+        # the release matrix follows lcparam row order; the store (and
+        # the reference consumer, y2018pantheon/data.py:20-29) is
+        # z-sorted, so the covariance must be permuted with it
+        b["cov_sys"] = zsort(b["z_cmb"])
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
 

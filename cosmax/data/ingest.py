@@ -101,11 +101,19 @@ def ingest_pantheon_plus(src):
 
 def ingest_des5y(src):
     """DES-SN5YR hubble diagram (des-science/DES-SN5YR 4_DISTANCES_COVMAT).
-    Sorted by zHD as in the reference loader (y2024DES/data.py:24-31)."""
+    Sorted by zHD as in the reference loader (y2024DES/data.py:24-31).
+
+    The z-sorts here, in ingest_union21 and in ingest_pantheon18 are
+    ``kind="stable"``: these tables contain duplicate redshifts, and
+    data.fetch must later reproduce the exact row order from the
+    release's own redshift column to align a downloaded covariance —
+    the default introsort's tie order is numpy-implementation-defined,
+    stable order is not. (chi^2 is invariant to the choice; the
+    ingest/fetch AGREEMENT is what matters.)"""
     base = os.path.join(src, "y2024DES", "raw-data")
     df = pd.read_csv(os.path.join(base, "distances.txt"))
     eff = int(np.round((1.0 - df["PROBCC_BEAMS"]).sum()))
-    order = np.argsort(df["zHD"].to_numpy(np.float64))
+    order = np.argsort(df["zHD"].to_numpy(np.float64), kind="stable")
     arrays = dict(
         z_hd=df["zHD"].to_numpy(np.float64)[order],
         z_hel=df["zHEL"].to_numpy(np.float64)[order],
@@ -142,7 +150,7 @@ def ingest_union21(src):
     """Union2.1, sorted by z (y2011union2/data.py:12-20)."""
     base = os.path.join(src, "y2011union2", "raw-data")
     df = pd.read_csv(os.path.join(base, "distances.txt"), sep=" ")
-    order = np.argsort(df["z"].to_numpy(np.float64))
+    order = np.argsort(df["z"].to_numpy(np.float64), kind="stable")
     arrays = dict(
         z=df["z"].to_numpy(np.float64)[order],
         mu=df["mu"].to_numpy(np.float64)[order],
@@ -158,7 +166,7 @@ def ingest_pantheon18(src):
     """Pantheon 2018 (1048 SNe), sorted by zcmb (y2018pantheon/data.py:20-29)."""
     base = os.path.join(src, "y2018pantheon", "raw-data")
     df = pd.read_csv(os.path.join(base, "mb.txt"), sep=" ")
-    order = np.argsort(df["zcmb"].to_numpy(np.float64))
+    order = np.argsort(df["zcmb"].to_numpy(np.float64), kind="stable")
     arrays = dict(
         z_cmb=df["zcmb"].to_numpy(np.float64)[order],
         z_hel=df["zhel"].to_numpy(np.float64)[order],

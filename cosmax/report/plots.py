@@ -22,21 +22,32 @@ LEVELS = (0.393, 0.864)  # 1 and 2 sigma in 2D
 
 
 def _contour_levels(hist, fractions):
-    """Density levels enclosing the given probability fractions."""
+    """Density levels enclosing the given probability fractions.
+
+    Deduplicated and strictly increasing: for a sharply concentrated
+    posterior both fractions can land on the same smoothed-density
+    value, and ``ax.contour`` raises on non-increasing levels — degrade
+    to fewer levels instead of crashing the whole corner plot."""
     flat = np.sort(hist.ravel())[::-1]
     cum = np.cumsum(flat)
     cum /= cum[-1]
-    return sorted(
-        flat[np.searchsorted(cum, f)] for f in fractions
-    )
+    levels = sorted(flat[np.searchsorted(cum, f)] for f in fractions)
+    return list(np.unique(levels))
 
 
 def corner(flat_samples, labels=None, bins=100, smooth=2.0, fig=None):
-    """Corner plot of [N, D] samples."""
+    """Corner plot of [N, D] samples. ``fig`` reuses a caller-supplied
+    figure (its existing axes are drawn over — the overlay idiom of the
+    ``corner`` package); by default a new figure is created."""
     flat = np.asarray(flat_samples)
     ndim = flat.shape[1]
     labels = labels or [f"p{i}" for i in range(ndim)]
-    fig, axes = plt.subplots(ndim, ndim, figsize=(2.2 * ndim, 2.2 * ndim))
+    if fig is not None:
+        axes = np.asarray(fig.axes).reshape(ndim, ndim)
+    else:
+        fig, axes = plt.subplots(
+            ndim, ndim, figsize=(2.2 * ndim, 2.2 * ndim)
+        )
     axes = np.atleast_2d(axes)
     for i in range(ndim):
         for j in range(ndim):

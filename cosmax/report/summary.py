@@ -116,7 +116,10 @@ def _residual_stats(fit, medians):
                 skewness=float(sstats.skew(resid)),
                 kurtosis=float(sstats.kurtosis(resid)),
             )
-        except Exception:
+        except KeyError:
+            # a term whose meta lacks the plot contract simply has no
+            # residual block; anything else (signature drift, bad
+            # medians) must surface, not silently drop the statistics
             continue
     return out
 

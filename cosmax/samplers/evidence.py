@@ -147,17 +147,22 @@ class SteppingStone:
             return jnp.where(jnp.isfinite(g), g, 0.0)
 
         def body(_, carry):
-            y, p, gl, gj = carry
+            # (ll, lj) ride the carry so the loop's final evaluation IS
+            # the acceptance-test evaluation — re-evaluating at y1
+            # after the loop would waste one full likelihood+gradient
+            # pass per trajectory (~1/(n_leap+1) of the ladder compute;
+            # same fix as hmc.py's leapfrog, VERDICT r2 item 2)
+            y, p, ll, gl, lj, gj = carry
             p = p + 0.5 * e * grad_post(gl, gj)
             y = y + e * im * p
-            _, gl, _, gj = self._eval(y)
+            ll, gl, lj, gj = self._eval(y)
             p = p + 0.5 * e * grad_post(gl, gj)
-            return y, p, gl, gj
+            return y, p, ll, gl, lj, gj
 
-        y1, p1, gl1, gj1 = jax.lax.fori_loop(
-            0, n_leap, body, (st.y, p0, st.grad_like, st.grad_jac)
+        y1, p1, ll1, gl1, lj1, gj1 = jax.lax.fori_loop(
+            0, n_leap, body,
+            (st.y, p0, st.log_like, st.grad_like, st.log_jac, st.grad_jac),
         )
-        ll1, gl1, lj1, gj1 = self._eval(y1)
 
         kin0 = 0.5 * jnp.sum(im * p0**2, axis=-1)
         kin1 = 0.5 * jnp.sum(im * p1**2, axis=-1)
@@ -285,8 +290,11 @@ class SteppingStone:
         if r < 1:
             raise ValueError("n_replicates must be >= 1")
         k_init, k_run = jax.random.split(key)
-        kk = self.n_rungs + 1
-        betas_j = jnp.tile(self.betas, r)  # [R*(K+1)] stacked ladders
+        # the estimator needs expectations under beta_0..beta_{K-1}
+        # only — the beta_K = 1 posterior rung would be simulated and
+        # never used (1/(K+1) of the ladder compute), so it is not run
+        kk = self.n_rungs
+        betas_j = jnp.tile(self.betas[:-1], r)  # [R*K] stacked ladders
         # uniform prior draws for every (replicate, rung) — warmup
         # anneals each rung onto its own power posterior
         u = jax.random.uniform(
@@ -300,7 +308,7 @@ class SteppingStone:
         st = _LadderState(y0, ll0, lj0, gl0, gj0, k_run)
         st, lls, accs = self._run(st, betas_j, n_warmup, n_samples)
 
-        # [S, R*(K+1), C] -> [R][K+1, S, C]
+        # [S, R*K, C] -> [R][K, S, C]
         lls = np.asarray(lls, dtype=np.float64)
         lls = lls.reshape(lls.shape[0], r, kk, self.n_chains)
         betas = np.asarray(self.betas, dtype=np.float64)
@@ -317,7 +325,7 @@ class SteppingStone:
             # independent): std of G group estimates / sqrt(G).
             # Underestimates shared equilibration bias — prefer
             # n_replicates > 1.
-            draws = np.moveaxis(lls[:, 0], 0, 1)  # [K+1, S, C]
+            draws = np.moveaxis(lls[:, 0], 0, 1)  # [K, S, C]
             g = max(2, min(8, self.n_chains // 4))
             size = self.n_chains // g
             groups = [
@@ -341,11 +349,12 @@ class SteppingStone:
 
 def _ss_estimate_np(draws, betas):
     """numpy twin of the estimator (f64 host-side reduction):
-    draws [K+1, S, C], returns [K] per-rung ln r_k."""
+    draws [K, S, C] under beta_0..beta_{K-1}, betas [K+1];
+    returns [K] per-rung ln r_k."""
     from scipy.special import logsumexp
 
     dbeta = betas[1:] - betas[:-1]
-    ll = draws[:-1].reshape(len(dbeta), -1)
+    ll = draws.reshape(len(dbeta), -1)
     return logsumexp(dbeta[:, None] * ll, axis=1) - np.log(ll.shape[1])
 
 

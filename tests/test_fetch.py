@@ -81,19 +81,29 @@ def test_patch_store_des5y_sorts_verbatim(tmp_path):
 
 
 def test_patch_store_pantheon18_direct(tmp_path):
+    # the release sys matrix is in lcparam row order, the store is
+    # z-sorted: the companion permutation is REQUIRED and applied
+    raw_z = np.array([0.5, 0.1, 0.9, 0.3])
+    order = np.argsort(raw_z)
     np.savez(
         tmp_path / "pantheon18.npz",
         mb=np.zeros(4), dmb=np.full(4, 0.1),
-        z_cmb=np.linspace(0.1, 1, 4), z_hel=np.linspace(0.1, 1, 4),
+        z_cmb=raw_z[order], z_hel=raw_z[order],
         legend=np.array("synthetic"),
     )
     sys = _spd(4, 3)
-    patch_store("pantheon18", sys, store=str(tmp_path))
+    patch_store("pantheon18", sys, raw_z=raw_z, store=str(tmp_path))
     b = np.load(tmp_path / "pantheon18.npz")
-    assert np.allclose(b["cov_sys"], sys)
+    assert np.allclose(b["cov_sys"], sys[np.ix_(order, order)])
+    # without the companion table it must refuse, not store misaligned
+    with pytest.raises(ValueError, match="companion"):
+        patch_store("pantheon18", sys, store=str(tmp_path))
     # wrong size refuses
     with pytest.raises(ValueError, match="rows"):
-        patch_store("pantheon18", _spd(5, 4), store=str(tmp_path))
+        patch_store(
+            "pantheon18", _spd(5, 4), raw_z=np.linspace(0.1, 1, 5),
+            store=str(tmp_path),
+        )
 
 
 def test_patch_store_refuses_asymmetric(tmp_path):
@@ -193,8 +203,15 @@ def test_fetch_rejects_sha_and_size_drift(tmp_path, monkeypatch):
         legend=np.array("synthetic"),
     )
     cov = _spd(4, 8)
-    url, _, _ = fetch_mod._URLS["pantheon18"]
-    _stub_urlopen(monkeypatch, {url: _nfirst_payload(cov)})
+    url, _, companion = fetch_mod._URLS["pantheon18"]
+    lcparam = (
+        b"#name zcmb zhel dz mb dmb\n"
+        b"a 0.1 0.1 0 20 0.1\nb 0.4 0.4 0 21 0.1\n"
+        b"c 0.7 0.7 0 22 0.1\nd 1.0 1.0 0 23 0.1\n"
+    )
+    _stub_urlopen(
+        monkeypatch, {url: _nfirst_payload(cov), companion: lcparam}
+    )
     # size drift: payload is 4^2, published dataset is 1048^2
     with pytest.raises(ValueError, match="format drift"):
         fetch_mod.fetch("pantheon18", store=str(tmp_path))
@@ -203,7 +220,7 @@ def test_fetch_rejects_sha_and_size_drift(tmp_path, monkeypatch):
     monkeypatch.setitem(fetch_mod._SHA256, "pantheon18", "0" * 64)
     with pytest.raises(ValueError, match="sha256"):
         fetch_mod.fetch("pantheon18", store=str(tmp_path))
-    # correct pin passes
+    # correct pin passes (already-sorted companion: identity perm)
     import hashlib
 
     monkeypatch.setitem(
@@ -212,6 +229,43 @@ def test_fetch_rejects_sha_and_size_drift(tmp_path, monkeypatch):
     )
     path = fetch_mod.fetch("pantheon18", store=str(tmp_path))
     assert np.allclose(np.load(path)["cov_sys"], cov, atol=1e-12)
+
+
+def test_fetch_full_pipeline_pantheon18_permutes(tmp_path, monkeypatch):
+    """fetch('pantheon18') end-to-end minus the socket: the lcparam
+    companion's zcmb column yields the argsort permutation applied to
+    the sys matrix (the regression this pins: storing the release
+    matrix verbatim paired each row with the wrong supernova)."""
+    import cosmax.data.fetch as fetch_mod
+
+    raw_z = np.array([0.5, 0.1, 0.9, 0.3])
+    order = np.argsort(raw_z)
+    np.savez(
+        tmp_path / "pantheon18.npz",
+        mb=np.zeros(4), dmb=np.full(4, 0.1),
+        z_cmb=raw_z[order], z_hel=raw_z[order],
+        legend=np.array("synthetic"),
+    )
+    cov = _spd(4, 5)
+    url, _, companion = fetch_mod._URLS["pantheon18"]
+    lcparam = b"#name zcmb zhel dz mb dmb\n" + b"".join(
+        f"sn{i} {z:.17g} {z:.17g} 0 20 0.1\n".encode()
+        for i, z in enumerate(raw_z)
+    )
+    _stub_urlopen(
+        monkeypatch, {url: _nfirst_payload(cov), companion: lcparam}
+    )
+    monkeypatch.setitem(fetch_mod._EXPECTED_N, "pantheon18", 4)
+    path = fetch_mod.fetch("pantheon18", store=str(tmp_path))
+    b = np.load(path)
+    assert np.allclose(b["cov_sys"], cov[np.ix_(order, order)], atol=1e-12)
+    # a companion whose sorted z disagrees with the store must refuse
+    bad = lcparam.replace(b"0.9", b"0.95")
+    _stub_urlopen(
+        monkeypatch, {url: _nfirst_payload(cov), companion: bad}
+    )
+    with pytest.raises(ValueError, match="row order has changed"):
+        fetch_mod.fetch("pantheon18", store=str(tmp_path))
 
 
 def test_postcheck_detects_convention_error(monkeypatch):
@@ -253,7 +307,10 @@ def test_patched_bundle_loads_with_full_covariance(tmp_path, monkeypatch):
 
         n = len(src["mb"])
         sys = _spd(n, 5) * 1e-4
-        patch_store("pantheon18", sys, store=str(tmp_path))
+        # store z is already sorted -> identity permutation
+        patch_store(
+            "pantheon18", sys, raw_z=src["z_cmb"], store=str(tmp_path)
+        )
         after = loaders.load_sn("pantheon18")  # patch_store cleared the cache
         assert not after.synthetic_cov
         assert np.allclose(
