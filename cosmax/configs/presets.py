@@ -401,7 +401,10 @@ def _bao_desi_bbn_theta(model):
         bao_mod.build_bao_term(
             ds, model, bao_mod.rd_param("rd"), grid=("dyn_trapz", 250)
         ),
-        cmb_mod.build_theta_star_term(model),
+        # the bbn variant uses the wider theta* error
+        # (bao/desi_bbn_theta_star.py:17), NOT the Plik 0.00031 —
+        # found by tools/precheck_rows.py on the wCDM row (r4)
+        cmb_mod.build_theta_star_term(model, theta_100_err=0.00053),
         priors_mod.bbn_term("shonberg"),
     )
     return FitSpec(
@@ -412,7 +415,7 @@ def _bao_desi_bbn_theta(model):
 
 
 @preset("bao.desi_omh2_theta_star")
-def _bao_desi_omh2_theta(model):
+def _bao_desi_omh2_theta(model, z_star="aizpuru"):
     ds = load_bao("desi_dr2")
     params = _adjust_params(
         [
@@ -428,7 +431,10 @@ def _bao_desi_omh2_theta(model):
         bao_mod.build_bao_term(
             ds, model, bao_mod.rd_param("rd"), grid=("dyn_trapz", 250)
         ),
-        cmb_mod.build_theta_star_term(model),
+        # z_star="hu" reproduces the code variant the published rows
+        # were run with (their quoted z* IS z_star_HU to 2 decimals);
+        # the default follows the current reference code (Aizpuru A4)
+        cmb_mod.build_theta_star_term(model, z_star=z_star),
         priors_mod.omh2_term(),
     )
     return FitSpec(
@@ -885,8 +891,8 @@ PRESETS["cc.cc_des5y"] = _cc_sn(
 
 
 @preset("qsr.pantheon")
-def _qsr_pantheon(model):
-    legend, z, mu, sig = load_quasars(22)
+def _qsr_pantheon(model, sigma_mu_type="sem_errors"):
+    legend, z, mu, sig = load_quasars(22, sigma_mu_type)
     sn_ds = load_sn("pantheon_plus")
     params = _adjust_params(
         [
@@ -911,8 +917,8 @@ def _qsr_pantheon(model):
 
 
 @preset("qsr.union3")
-def _qsr_union3(model):
-    legend, z, mu, sig = load_quasars(22)
+def _qsr_union3(model, sigma_mu_type="sem_errors"):
+    legend, z, mu, sig = load_quasars(22, sigma_mu_type)
     sn_ds = load_sn("union3")
     params = _adjust_params(
         [
@@ -937,8 +943,8 @@ def _qsr_union3(model):
 
 
 @preset("qsr.des5y")
-def _qsr_des5y(model):
-    legend, z, mu, sig = load_quasars(50)
+def _qsr_des5y(model, sigma_mu_type="sem_errors"):
+    legend, z, mu, sig = load_quasars(50, sigma_mu_type)
     sn_ds = load_sn("des5y")
     params = _adjust_params(
         [
@@ -964,8 +970,8 @@ def _qsr_des5y(model):
 
 
 @preset("qsr.desi")
-def _qsr_desi(model):
-    legend, z, mu, sig = load_quasars(22)
+def _qsr_desi(model, sigma_mu_type="sem_errors"):
+    legend, z, mu, sig = load_quasars(22, sigma_mu_type)
     bao_ds = load_bao("desi_dr2")
     params = _adjust_params(
         [
@@ -992,8 +998,8 @@ def _qsr_desi(model):
 
 
 @preset("qsr.des5y_desi")
-def _qsr_des5y_desi(model):
-    legend, z, mu, sig = load_quasars(22)
+def _qsr_des5y_desi(model, sigma_mu_type="sem_errors"):
+    legend, z, mu, sig = load_quasars(22, sigma_mu_type)
     sn_ds = load_sn("des5y")
     bao_ds = load_bao("desi_dr2")
     params = _adjust_params(

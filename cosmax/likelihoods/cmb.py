@@ -189,14 +189,26 @@ def build_theta_star_term(
     dc_order: int = 24,
     o_gamma_h2: float = _OG_STD,
     name: str = "theta_star",
+    z_star: str = "aizpuru",
 ) -> Term:
     """Gaussian prior on 100 theta* alone (reference
-    bao/desi_omh2_theta_star.py:19-20,88-95)."""
+    bao/desi_omh2_theta_star.py:19-20,88-95; note
+    bao/desi_bbn_theta_star.py:17 uses err 0.00053, not the Plik
+    0.00031). ``z_star`` picks the decoupling-redshift fitting formula:
+    "aizpuru" (A4; the current reference code, data_desi_compression.py
+    :69-74) or "hu" (Hu & Sugiyama; the variant the published
+    desi_omh2_theta_star rows were produced with — their quoted z*
+    equals z_star_HU at the quoted (wb, wm) to 2 decimals on all three
+    model families, see VALIDATION.md attribution)."""
+    zstar_fn = {
+        "aizpuru": recombination.z_star,
+        "hu": recombination.z_star_hu,
+    }[z_star]
 
     def chi2(p):
         h0, om, wb = p["H0"], p["Om"], p["Obh2"]
         wm = om * (h0 / 100.0) ** 2
-        zstar = recombination.z_star(wb, wm)
+        zstar = zstar_fn(wb, wm)
         rs_star = recombination.sound_horizon(
             zstar, p, model, h0, wb, order=rs_order, o_gamma_h2=o_gamma_h2
         )

@@ -74,6 +74,18 @@ class SteppingStoneResult(NamedTuple):
     per_rung: np.ndarray  # [K] ln r_k contributions (replicate mean)
     acceptance: float
     per_replicate: np.ndarray = None  # [R] independent ln Z estimates
+    # [K] split R-hat of ln L per rung (worst replicate) — the
+    # equilibration diagnostic: a rung whose sampling phase still
+    # trends in ln L shows R-hat >> 1.01 and biases its ln r_k term
+    rung_rhat: np.ndarray = None
+    # budget-doubling mode (run(until_stable=...)): did the replicate
+    # -mean ln Z move < threshold on the last doubling? None = static
+    # budget (no convergence loop requested)
+    converged: bool = None
+    # [(n_warmup, n_samples, ln Z, error), ...] per doubling step
+    history: tuple = None
+    n_warmup: int = None
+    n_samples: int = None
 
 
 _DA_GAMMA, _DA_T0, _DA_KAPPA = 0.05, 10.0, 0.75
@@ -274,7 +286,8 @@ class SteppingStone:
         return jax.random.randint(key, (), 1, self.max_leapfrog + 1)
 
     def run(self, key, n_warmup: int = 300, n_samples: int = 300,
-            n_replicates: int = 1):
+            n_replicates: int = 1, until_stable: float = None,
+            max_doublings: int = 4):
         """Returns a :class:`SteppingStoneResult`.
 
         ``n_replicates > 1`` runs R fully independent ladders (own
@@ -285,7 +298,49 @@ class SteppingStone:
         single-ladder chain-group error cannot: per-rung equilibration
         bias varies between independently-warmed-up ladders, so it
         shows up across replicates but is shared within one ladder's
-        chain groups."""
+        chain groups.
+
+        ``until_stable=t`` (nats) turns the static budget into the
+        *starting* budget: (n_warmup, n_samples) are doubled — a fresh
+        run each time, so warmup bias shrinks too — until the
+        replicate-mean ln Z moves < t between consecutive budgets (then
+        ``converged=True``) or ``max_doublings`` is exhausted
+        (``converged=False``). The returned estimate is the last
+        (largest-budget) run's; ``history`` records the trajectory.
+        Converging the MEAN across R replicates tightens the target by
+        sqrt(R), so pair it with n_replicates >= 2 on sharp joints."""
+        if until_stable is not None:
+            return self._run_until_stable(
+                key, n_warmup, n_samples, n_replicates,
+                float(until_stable), int(max_doublings),
+            )
+        return self._run_budget(key, n_warmup, n_samples, n_replicates)
+
+    def _run_until_stable(self, key, n_warmup, n_samples, n_replicates,
+                          threshold, max_doublings):
+        history = []
+        prev = None
+        converged = False
+        for j in range(max_doublings + 1):
+            res = self._run_budget(
+                jax.random.fold_in(key, j), n_warmup, n_samples,
+                n_replicates,
+            )
+            history.append((n_warmup, n_samples, res.log_evidence, res.error))
+            if prev is not None and abs(res.log_evidence - prev) < threshold:
+                converged = True
+                break
+            prev = res.log_evidence
+            if j < max_doublings:
+                n_warmup *= 2
+                n_samples *= 2
+        return res._replace(
+            converged=converged, history=tuple(history),
+            n_warmup=n_warmup, n_samples=n_samples,
+        )
+
+    def _run_budget(self, key, n_warmup: int, n_samples: int,
+                    n_replicates: int):
         r = int(n_replicates)
         if r < 1:
             raise ValueError("n_replicates must be >= 1")
@@ -337,6 +392,12 @@ class SteppingStone:
                 for j in range(g)
             ]
             error = float(np.std(groups, ddof=1) / np.sqrt(g))
+        # per-rung split R-hat of ln L (worst replicate): equilibration
+        # diagnostic — lls is [S, R, K, C] at this point
+        rhat = np.array([
+            max(_split_rhat_np(lls[:, j, k, :]) for j in range(r))
+            for k in range(kk)
+        ])
         return SteppingStoneResult(
             log_evidence=float(totals.mean()),
             error=error,
@@ -344,7 +405,27 @@ class SteppingStone:
             per_rung=np.mean(rep_terms, axis=0),
             acceptance=float(np.asarray(accs).mean()),
             per_replicate=totals,
+            rung_rhat=rhat,
         )
+
+
+def _split_rhat_np(draws):
+    """Split R-hat (Gelman-Rubin on half-chains) of scalar draws
+    [S, C]: each chain is split in two, between/within variances are
+    compared across the 2C half-chains. ~1 when every chain's ln L is
+    stationary over the sampling phase; >> 1.01 flags a rung that was
+    still equilibrating (its ln r_k term is then biased)."""
+    s, c = draws.shape
+    half = s // 2
+    if half < 2:
+        return float("nan")
+    x = np.concatenate([draws[:half], draws[half : 2 * half]], axis=1)
+    w = float(np.mean(np.var(x, axis=0, ddof=1)))
+    if w <= 0.0:
+        return 1.0  # zero within-variance: constant ln L, trivially mixed
+    b_over_n = float(np.var(np.mean(x, axis=0), ddof=1))
+    var_est = (half - 1.0) / half * w + b_over_n
+    return float(np.sqrt(var_est / w))
 
 
 def _ss_estimate_np(draws, betas):
@@ -374,7 +455,8 @@ def stepping_stone_log_evidence(
         key = jax.random.PRNGKey(0)
     run_kw = {
         k: kwargs.pop(k)
-        for k in ("n_warmup", "n_samples", "n_replicates")
+        for k in ("n_warmup", "n_samples", "n_replicates", "until_stable",
+                  "max_doublings")
         if k in kwargs
     }
     ss = SteppingStone(log_prob_fn, bounds, **kwargs)

@@ -345,8 +345,27 @@ class HMCSampler:
         return jax.random.randint(key, (), 1, self.max_leapfrog + 1)
 
     # -- warmup ----------------------------------------------------------
-    def _warmup(self, state: HMCState, n_warmup: int):
-        d = self.ndim
+    def init_adapt_state(self) -> AdaptState:
+        """Fresh adaptation state (the start-of-warmup carry); public
+        because segmented/checkpointed warmup round-trips it through
+        cosmax.samplers.checkpoints."""
+        c, d = self.n_chains, self.ndim
+        # per-chain eps state: see _da_update for why per-chain (not
+        # pooled-mean) dual averaging is the de-lottery mechanism
+        log_eps0 = jnp.full((c,), np.log(0.1), dtype=self.dtype)
+        return AdaptState(
+            log_eps=log_eps0,
+            log_eps_bar=log_eps0,
+            h_bar=jnp.zeros((c,), self.dtype),
+            mu=jnp.log(10.0) + log_eps0,
+            t=jnp.zeros((), self.dtype),
+            w_mean=jnp.zeros((d,), self.dtype),
+            w_m2=jnp.zeros_like(self._mass_eye()),
+            w_n=jnp.zeros((), self.dtype),
+            inv_mass=self._mass_eye(),
+        )
+
+    def _warmup_schedule(self, n_warmup: int):
         # Stan-style expanding windows: an eps-only initial buffer,
         # then REPEATED mass updates (30% / 50% / 75%) with Welford
         # collection between them, then an eps-only terminal buffer.
@@ -364,21 +383,16 @@ class HMCSampler:
                 for f in (0.30, 0.50, 0.75)
             }
         )
-        c = self.n_chains
-        # per-chain eps state: see _da_update for why per-chain (not
-        # pooled-mean) dual averaging is the de-lottery mechanism
-        log_eps0 = jnp.full((c,), np.log(0.1), dtype=self.dtype)
-        adapt = AdaptState(
-            log_eps=log_eps0,
-            log_eps_bar=log_eps0,
-            h_bar=jnp.zeros((c,), self.dtype),
-            mu=jnp.log(10.0) + log_eps0,
-            t=jnp.zeros((), self.dtype),
-            w_mean=jnp.zeros((d,), self.dtype),
-            w_m2=jnp.zeros_like(self._mass_eye()) ,
-            w_n=jnp.zeros((), self.dtype),
-            inv_mass=self._mass_eye(),
-        )
+        return w1, mass_bnds
+
+    def _warmup_body(self, n_warmup: int):
+        """The per-step warmup transition (carry = (HMCState,
+        AdaptState), scanned over the absolute step index i). All state
+        lives in the carry, so scanning [0, n) in one go is bitwise
+        identical to scanning [0, k) then [k, n) — the property
+        segmented (checkpointable) warmup relies on."""
+        c, d = self.n_chains, self.ndim
+        w1, mass_bnds = self._warmup_schedule(n_warmup)
 
         def body(carry, i):
             st, ad = carry
@@ -430,9 +444,16 @@ class HMCSampler:
             )
             return (st, ad), None
 
+        return body
+
+    def _warmup(self, state: HMCState, n_warmup: int):
+        body = self._warmup_body(n_warmup)
         (state, adapt), _ = jax.lax.scan(
-            body, (state, adapt), jnp.arange(n_warmup)
+            body, (state, self.init_adapt_state()), jnp.arange(n_warmup)
         )
+        return self._finish_warmup(state, adapt)
+
+    def _finish_warmup(self, state: HMCState, adapt: AdaptState):
         # final rejuvenation: a resampled chain inherits its donor's
         # adapted step size along with its position — its own eps was
         # adapted for the pathological region it is leaving
@@ -441,6 +462,34 @@ class HMCSampler:
             state, extras=(eps_bar,)
         )
         return state, eps_bar, adapt.inv_mass, n_rejuvenated
+
+    def _warmup_segment(
+        self, state: HMCState, adapt: AdaptState, start: int, stop: int,
+        n_warmup: int,
+    ):
+        """Advance warmup from absolute step ``start`` to ``stop`` of a
+        ``n_warmup``-step schedule. Because the transition's only state
+        is the (HMCState, AdaptState) carry, chaining segments is
+        bitwise identical to the one-shot scan (tests/test_checkpoints
+        .py::test_segmented_warmup_bitwise) — the property
+        checkpointable warmup rests on. ``start`` is traced (only the
+        segment LENGTH is static), so every full-length segment of a
+        checkpointed warmup shares one compiled program."""
+        return self._warmup_segment_impl(
+            state, adapt, jnp.asarray(start), int(stop) - int(start),
+            n_warmup,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "length", "n_warmup"))
+    def _warmup_segment_impl(
+        self, state: HMCState, adapt: AdaptState, start, length: int,
+        n_warmup: int,
+    ):
+        body = self._warmup_body(n_warmup)
+        (state, adapt), _ = jax.lax.scan(
+            body, (state, adapt), start + jnp.arange(length)
+        )
+        return state, adapt
 
     def _rejuvenate(self, state: HMCState, extras=()):
         """Replace chains stuck far below the bulk with copies of
@@ -543,8 +592,9 @@ class HMCSampler:
     def warmup(self, key, n_warmup: int, initial=None):
         """Adaptation only: returns ``(state, step_size, inv_mass)``
         ready for :meth:`run_from_state` — the checkpointable split of
-        :meth:`run` (warmup itself is not resumable; the recording
-        phase is, being a pure function of this return value). Applies
+        :meth:`run`. (Warmup itself is also resumable mid-flight via
+        :meth:`_warmup_segment` — cosmax.samplers.checkpoints snapshots
+        the (HMCState, AdaptState) carry.) Applies
         the same warmup-health retry policy as ``run`` and sets
         ``self.warmup_retries`` / ``self.n_rejuvenated``."""
         if n_warmup < 1:

@@ -88,6 +88,51 @@ NOT_IN_BASELINE = {
     ("qsr.desi", "wzcdm"): "quasars/qsr_desi.py:257-267 wzCDM",
     ("fs8.fs8", "wcdm"): "fs8/fs8.py:233-243 wCDM",
     ("fs8.fs8", "wzcdm"): "fs8/fs8.py:244-253 wzCDM",
+    # --- round-4 extensions (VERDICT r3 item 1): every remaining
+    #     published model-family row on intact-covariance configs ------
+    ("bao.desi_cc", "wcdm"): "bao/desi_cc.py:247-280 wCDM",
+    ("bao.desi_cc", "wzcdm"): "bao/desi_cc.py:247-280 wzCDM",
+    ("bao.desi_cc", "w0wacdm"): "bao/desi_cc.py:247-280 w0waCDM",
+    ("bao.desi_bbn", "wcdm"): "bao/desi_bbn.py:243-272 wCDM",
+    ("bao.desi_bbn", "wzcdm"): "bao/desi_bbn.py:243-272 wzCDM",
+    ("bao.desi_omh2", "wcdm"): "bao/desi_omh2.py:314-339 wCDM",
+    ("bao.desi_omh2", "wzcdm"): "bao/desi_omh2.py:314-339 wzCDM",
+    ("bao.desi_bbn_theta_star", "wcdm"):
+        "bao/desi_bbn_theta_star.py:300-323 wCDM",
+    ("bao.desi_bbn_theta_star", "wzcdm"):
+        "bao/desi_bbn_theta_star.py:300-323 wzCDM",
+    ("bao.desi_omh2_theta_star", "wcdm"):
+        "bao/desi_omh2_theta_star.py:298-322 wCDM (z_star='hu' — see "
+        "tools/validate.py ATTRIBUTION)",
+    ("bao.desi_omh2_theta_star", "wzcdm"):
+        "bao/desi_omh2_theta_star.py:298-322 wzCDM (z_star='hu')",
+    ("bao.desi_union3_cc", "wcdm"): "bao/desi_union3_cc.py:214-250 wCDM",
+    ("bao.desi_union3_cc", "wzcdm"): "bao/desi_union3_cc.py:214-250 wzCDM",
+    ("bao.desi_union3_cc", "w0wacdm"):
+        "bao/desi_union3_cc.py:214-250 w0waCDM",
+    ("bao.desi_union3_omh2", "wcdm"):
+        "bao/desi_union3_omh2.py:270-298 wCDM",
+    ("bao.desi_union3_omh2", "wzcdm"):
+        "bao/desi_union3_omh2.py:270-298 wzCDM",
+    ("bao.desi_union3_omh2", "w0wacdm"):
+        "bao/desi_union3_omh2.py:270-298 w0waCDM",
+    ("bao.desi_union3_bbn", "wcdm"): "bao/desi_union3_bbn.py:279-303 wCDM",
+    ("bao.desi_union3_bbn", "wzcdm"): "bao/desi_union3_bbn.py:279-303 wzCDM",
+    ("bao.desi_cmb", "wcdm"): "bao/desi_cmb.py:249-322 wCDM (desi + chen)",
+    ("bao.desi_cmb", "wzcdm"): "bao/desi_cmb.py:249-322 wzCDM (desi + chen)",
+    ("bao.desi_cmb", "w0wacdm"):
+        "bao/desi_cmb.py:249-322 w0waCDM (desi + chen)",
+    # the chen-compression ΛCDM row: BASELINE.md itemises only the desi
+    # compression for this preset
+    ("bao.desi_cmb", "lcdm"): "bao/desi_cmb.py:249-322 ΛCDM chen block",
+    ("sn.union3_cmb", "wcdm"): "sn/union3_cmb.py:229-257 wCDM",
+    ("sn.union3_cmb", "wzcdm"): "sn/union3_cmb.py:229-257 wzCDM",
+    ("sn.union3_cmb", "w0wacdm"): "sn/union3_cmb.py:229-257 w0waCDM",
+    ("cc.cc_union3", "wcdm"): "cosmic_chronometers/cc_union3.py:202-222 wCDM",
+    ("cc.cc_union3", "wzcdm"):
+        "cosmic_chronometers/cc_union3.py:202-222 wzCDM",
+    ("qsr.union3", "wcdm"): "quasars/qsr_union3.py:225-246 wCDM",
+    ("qsr.union3", "wzcdm"): "quasars/qsr_union3.py:225-246 wzCDM",
 }
 
 # CASES name -> the symbol BASELINE.md uses

@@ -106,6 +106,92 @@ def test_replicated_error_covers_analytic_truth():
         )
 
 
+def test_rung_rhat_diagnostic():
+    """Every result carries per-rung split R-hat of ln L; on an easy
+    well-mixed Gaussian all rungs must look equilibrated."""
+    mean = np.array([0.2, -0.3])
+    sig = np.array([0.3, 0.5])
+    bounds = np.array([[-4.0, 4.0], [-4.0, 4.0]])
+
+    def lp(x):
+        return -0.5 * jnp.sum(((x - mean) / sig) ** 2)
+
+    res = stepping_stone_log_evidence(
+        lp, bounds, key=jax.random.PRNGKey(0),
+        n_rungs=16, n_chains=32, n_warmup=200, n_samples=200,
+        n_replicates=2,
+    )
+    assert res.rung_rhat.shape == (16,)
+    assert np.all(np.isfinite(res.rung_rhat))
+    assert float(np.max(res.rung_rhat)) < 1.2
+    # static budget: no convergence loop ran
+    assert res.converged is None
+
+
+def test_until_stable_converges_to_analytic_truth():
+    """Budget-doubling mode on a sharp posterior (the flagship-regime
+    stressor: the posterior occupies ~1e-10 of the prior box, the same
+    prior-to-posterior volume compression that produced the documented
+    ~0.3-0.5 nat systematic at static default budgets). Starting from a
+    deliberately-too-small budget, run(until_stable=...) must double
+    its way to an estimate that matches the analytic ln Z within the
+    reported replicate error."""
+    sig = np.array([0.01, 0.02, 0.015])
+    mean = np.array([0.2, -0.3, 0.1])
+    bounds = np.array([[-4.0, 4.0]] * 3)
+
+    def lp(x):
+        return -0.5 * jnp.sum(((x - mean) / sig) ** 2)
+
+    ln_z_true = float(
+        np.sum(np.log(np.sqrt(2 * np.pi) * sig))
+        - np.sum(np.log(bounds[:, 1] - bounds[:, 0]))
+    )
+    res = stepping_stone_log_evidence(
+        lp, bounds, key=jax.random.PRNGKey(3),
+        n_rungs=16, n_chains=32, n_warmup=50, n_samples=50,
+        n_replicates=3, until_stable=0.1, max_doublings=4,
+    )
+    assert res.converged is True
+    assert len(res.history) >= 2
+    # budgets doubled between steps
+    assert res.history[1][0] == 2 * res.history[0][0]
+    assert res.history[1][1] == 2 * res.history[0][1]
+    # final (returned) budget matches the last history row
+    assert (res.n_warmup, res.n_samples) == res.history[-1][:2]
+    assert abs(res.log_evidence - ln_z_true) <= max(4.0 * res.error, 0.25)
+
+
+def test_until_stable_exhausted_flag():
+    """max_doublings=0 leaves nothing to compare against: the loop must
+    report converged=False rather than pretend."""
+    bounds = np.array([[-4.0, 4.0], [-4.0, 4.0]])
+
+    def lp(x):
+        return -0.5 * jnp.sum((x / 0.3) ** 2)
+
+    res = stepping_stone_log_evidence(
+        lp, bounds, key=jax.random.PRNGKey(0),
+        n_rungs=8, n_chains=16, n_warmup=50, n_samples=50,
+        until_stable=1e-6, max_doublings=0,
+    )
+    assert res.converged is False
+    assert len(res.history) == 1
+
+
+def test_compare_cli_until_stable(capsys):
+    from cosmax.compare import main
+
+    rc = main([
+        "--preset", "bao.desi", "--models", "lcdm", "--sampled-evidence",
+        "--replicates", "2", "--ss-until-stable", "0.5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "rhat=" in out
+    assert "converged" in out
+
+
 def test_compare_cli_sampled_evidence(capsys):
     import jax as _jax
 

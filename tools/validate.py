@@ -181,6 +181,137 @@ CASES = [
     ("bao.desi_union3", "wzcdm", {},
      {"dM": (-0.163, 0.0895), "H0": (66.66, 0.81), "Om": (0.310, 0.0085),
       "w0": (-0.803, 0.0655)}, 30.37),
+    # --- round-4 extensions (VERDICT r3 item 1): every remaining
+    #     published model-family row on intact-covariance configs -------
+    # bao/desi_cc.py:247-280 wCDM / wzCDM / w0waCDM
+    ("bao.desi_cc", "wcdm", {},
+     {"f_cc": (0.70, 0.09), "H0": (67.9, 2.65), "rd": (147.1, 5.0),
+      "Om": (0.298, 0.009), "w0": (-0.922, 0.0765)}, 39.31),
+    ("bao.desi_cc", "wzcdm", {},
+     {"f_cc": (0.71, 0.09), "H0": (67.2, 2.8), "rd": (147.2, 4.95),
+      "Om": (0.307, 0.011), "w0": (-0.854, 0.122)}, 38.74),
+    ("bao.desi_cc", "w0wacdm", {},
+     {"f_cc": (0.72, 0.09), "H0": (65.2, 3.4), "rd": (147.2, 5.05),
+      "Om": (0.343, 0.0385), "w0": (-0.593, 0.306), "wa": (-1.309, 1.15)},
+     37.03),
+    # bao/desi_bbn.py:243-272 wCDM / wzCDM
+    ("bao.desi_bbn", "wcdm", {},
+     {"H0": (66.25, 2.165), "Obh2": (0.02190, 0.00025), "Om": (0.2970, 0.0089),
+      "w0": (-0.918, 0.0775)}, 9.05),
+    ("bao.desi_bbn", "wzcdm", {},
+     {"H0": (65.65, 2.115), "Obh2": (0.02190, 0.00025), "Om": (0.3076, 0.0117),
+      "w0": (-0.834, 0.124)}, 8.42),
+    # bao/desi_omh2.py:314-339 wCDM / wzCDM
+    ("bao.desi_omh2", "wcdm", {},
+     {"h": (0.694, 0.011), "Om": (0.297, 0.009), "w0": (-0.914, 0.078),
+      "rd": (144.03, 2.805)}, 9.16),
+    ("bao.desi_omh2", "wzcdm", {},
+     {"h": (0.681, 0.013), "Om": (0.308, 0.012), "w0": (-0.832, 0.1245),
+      "rd": (144.70, 1.94)}, 8.44),
+    # bao/desi_bbn_theta_star.py:300-323 wCDM / wzCDM
+    ("bao.desi_bbn_theta_star", "wcdm", {},
+     {"rd": (148.34, 0.795), "H0": (67.29, 1.21), "Om": (0.2968, 0.00875),
+      "Obh2": (0.02218, 0.000545), "w0": (-0.916, 0.076)}, 10.03),
+    ("bao.desi_bbn_theta_star", "wzcdm", {},
+     {"rd": (148.17, 0.81), "H0": (66.53, 1.555), "Om": (0.3076, 0.0117),
+      "Obh2": (0.02218, 0.00054), "w0": (-0.832, 0.124)}, 8.44),
+    # bao/desi_omh2_theta_star.py:298-322 wCDM / wzCDM. The published
+    # rows (all three families) were produced with the Hu-Sugiyama z*
+    # variant — their quoted z* equals z_star_HU(wb, wm) at the quoted
+    # medians to 2 decimals, while the current reference code's Aizpuru
+    # z* gives theta* chi2 of 28-34 at those same medians (see the
+    # Attribution section) — so the sweep validates them against the
+    # configuration that produced them (z_star="hu").
+    ("bao.desi_omh2_theta_star", "wcdm", {"z_star": "hu"},
+     {"H0": (69.42, 1.06), "Om": (0.297, 0.009), "Obh2": (0.02582, 0.00265),
+      "w0": (-0.916, 0.077), "rd": (143.98, 2.775)}, 9.71),
+    ("bao.desi_omh2_theta_star", "wzcdm", {"z_star": "hu"},
+     {"H0": (68.18, 1.305), "Om": (0.308, 0.012), "Obh2": (0.02506, 0.00162),
+      "w0": (-0.831, 0.1225), "rd": (144.62, 1.935)}, 8.47),
+    # bao/desi_union3_cc.py:214-250 wCDM / wzCDM / w0waCDM
+    ("bao.desi_union3_cc", "wcdm", {},
+     {"f_cc": (0.70, 0.09), "dM": (-0.158, 0.1165), "H0": (67.1, 2.4),
+      "rd": (147.3, 5.0), "Om": (0.298, 0.009), "w0": (-0.870, 0.051)}, 62.6),
+    ("bao.desi_union3_cc", "wzcdm", {},
+     {"f_cc": (0.71, 0.09), "dM": (-0.165, 0.118), "H0": (66.7, 2.4),
+      "rd": (147.2, 5.0), "Om": (0.310, 0.0085), "w0": (-0.811, 0.0655)},
+     60.7),
+    ("bao.desi_union3_cc", "w0wacdm", {},
+     {"f_cc": (0.71, 0.09), "dM": (-0.167, 0.1165), "H0": (66.3, 2.4),
+      "rd": (147.1, 5.0), "Om": (0.329, 0.017), "w0": (-0.722, 0.1095),
+      "wa": (-0.901, 0.5575)}, 59.1),
+    # bao/desi_union3_omh2.py:270-298 wCDM / wzCDM / w0waCDM (dM sampled
+    # but not published — compared params are the published four/five)
+    ("bao.desi_union3_omh2", "wcdm", {},
+     {"rd": (142.55, 2.465), "H0": (69.31, 1.09), "Om": (0.298, 0.009),
+      "w0": (-0.866, 0.051)}, 32.2),
+    ("bao.desi_union3_omh2", "wzcdm", {},
+     {"rd": (144.33, 1.655), "H0": (67.95, 0.985), "Om": (0.310, 0.009),
+      "w0": (-0.803, 0.0665)}, 30.4),
+    ("bao.desi_union3_omh2", "w0wacdm", {},
+     {"rd": (148.08, 2.725), "H0": (65.78, 1.69), "Om": (0.331, 0.017),
+      "w0": (-0.698, 0.112), "wa": (-1.006, 0.558)}, 28.8),
+    # bao/desi_union3_bbn.py:279-303 wCDM / wzCDM
+    ("bao.desi_union3_bbn", "wcdm", {},
+     {"dM": (-0.223, 0.1005), "H0": (65.12, 1.565), "Om": (0.298, 0.009),
+      "Obh2": (0.02218, 0.000545), "w0": (-0.868, 0.0505)}, 32.2),
+    ("bao.desi_union3_bbn", "wzcdm", {},
+     {"dM": (-0.205, 0.0945), "H0": (65.40, 1.27), "Om": (0.310, 0.009),
+      "Obh2": (0.02219, 0.000545), "w0": (-0.803, 0.066)}, 30.4),
+    # bao/desi_cmb.py:249-322 wCDM / wzCDM / w0waCDM on the desi
+    # compression and all four families on chen
+    ("bao.desi_cmb", "wcdm", {"compression": "desi"},
+     {"rd": (148.36, 0.515), "H0": (68.50, 0.98), "Om": (0.3016, 0.00845),
+      "Obh2": (0.02228, 0.00014), "w0": (-1.023, 0.0395)}, 11.51,
+     {"steps_mult": 4}),
+    ("bao.desi_cmb", "wzcdm", {"compression": "desi"},
+     {"rd": (148.42, 0.515), "H0": (68.03, 1.385), "Om": (0.3050, 0.01205),
+      "Obh2": (0.02231, 0.00014), "w0": (-1.002, 0.090)}, 11.77,
+     {"steps_mult": 4}),
+    ("bao.desi_cmb", "w0wacdm", {"compression": "desi"},
+     {"rd": (147.71, 0.56), "H0": (63.97, 2.095), "Om": (0.3482, 0.02385),
+      "Obh2": (0.02219, 0.00014), "w0": (-0.50, 0.245), "wa": (-1.49, 0.71)},
+     6.81, {"steps_mult": 4}),
+    ("bao.desi_cmb", "lcdm", {"compression": "chen"},
+     {"rd": (148.00, 0.52), "H0": (68.07, 0.445), "Om": (0.3076, 0.0059),
+      "Obh2": (0.02246, 0.00013)}, 12.83, {"steps_mult": 4}),
+    ("bao.desi_cmb", "wcdm", {"compression": "chen"},
+     {"rd": (147.95, 0.525), "H0": (68.83, 1.00), "Om": (0.3021, 0.00865),
+      "Obh2": (0.02241, 0.00014), "w0": (-1.036, 0.041)}, 12.17,
+     {"steps_mult": 4}),
+    ("bao.desi_cmb", "wzcdm", {"compression": "chen"},
+     {"rd": (148.00, 0.525), "H0": (68.45, 1.42), "Om": (0.3045, 0.01225),
+      "Obh2": (0.02245, 0.00014), "w0": (-1.027, 0.0925)}, 12.77,
+     {"steps_mult": 4}),
+    ("bao.desi_cmb", "w0wacdm", {"compression": "chen"},
+     {"rd": (147.30, 0.55), "H0": (63.88, 2.02), "Om": (0.3535, 0.0234),
+      "Obh2": (0.02233, 0.00014), "w0": (-0.455, 0.2405),
+      "wa": (-1.658, 0.706)}, 6.45, {"steps_mult": 4}),
+    # sn/union3_cmb.py:229-257 wCDM / wzCDM / w0waCDM
+    ("sn.union3_cmb", "wcdm", {},
+     {"H0": (65.19, 1.21), "Om": (0.336, 0.013), "Obh2": (0.02240, 0.000145),
+      "w0": (-0.924, 0.0425), "dM": (-0.220, 0.094)}, 23.2),
+    ("sn.union3_cmb", "wzcdm", {},
+     {"H0": (65.30, 1.07), "Om": (0.335, 0.012), "Obh2": (0.02240, 0.000145),
+      "w0": (-0.872, 0.0665), "dM": (-0.212, 0.0915)}, 22.5),
+    ("sn.union3_cmb", "w0wacdm", {},
+     {"H0": (66.51, 1.35), "Om": (0.324, 0.0135), "Obh2": (0.02239, 0.000145),
+      "w0": (-0.689, 0.1575), "wa": (-1.106, 0.7435), "dM": (-0.160, 0.0995)},
+     21.4),
+    # cosmic_chronometers/cc_union3.py:202-222 wCDM / wzCDM
+    ("cc.cc_union3", "wcdm", {},
+     {"f_cc": (0.71, 0.09), "dM": (-0.179, 0.1245), "H0": (66.4, 2.7),
+      "Om": (0.306, 0.052), "w0": (-0.85, 0.13)}, 52.28),
+    ("cc.cc_union3", "wzcdm", {},
+     {"f_cc": (0.71, 0.09), "dM": (-0.180, 0.1245), "H0": (66.3, 2.7),
+      "Om": (0.321, 0.034), "w0": (-0.84, 0.13)}, 51.97),
+    # quasars/qsr_union3.py:225-246 wCDM / wzCDM
+    ("qsr.union3", "wcdm", {},
+     {"dM_qsr": (-0.103, 0.0915), "s": (0.387, 0.068), "dM": (-0.065, 0.0885),
+      "Om": (0.357, 0.068), "w0": (-0.963, 0.193)}, 43.39),
+    ("qsr.union3", "wzcdm", {},
+     {"dM_qsr": (-0.100, 0.0915), "s": (0.390, 0.0675), "dM": (-0.062, 0.0885),
+      "Om": (0.352, 0.049), "w0": (-0.911, 0.1825)}, 42.85),
 ]
 
 ATTRIBUTION = """\
@@ -206,6 +337,38 @@ current reference code and cannot be reproduced by it:
 cosmax's posterior median sits on the current-code MAP to <= 0.02
 sigma; the residual ~0.1 sigma against the *published* medians is
 reference-version drift, not a cosmax bias. The table reports both.
+
+**bao.desi_omh2_theta_star [all families]** — the published rows
+predate the current reference code's switch to the Aizpuru A4 z*
+formula. Evidence (tools/precheck_rows.py + a direct run of the
+reference's own numpy/scipy pipeline at the published medians):
+
+* the quoted z* equals z_star_HU(wb, wm) at the quoted medians to
+  2 decimals on all three families (1090.42/1087.51/1088.39 computed
+  vs 1090.43/1087.50/1088.38 published), while the current code's
+  Aizpuru z* gives 1087.71/1085.52/1086.18 — and theta* chi2 of
+  28.0/30.1/33.8 at the published medians, where the published totals
+  imply ~0 (the reference's own current code reproduces those same
+  28.0/30.1/33.8, i.e. cosmax is bit-consistent with the current
+  reference; the published rows are not).
+* with z_star="hu" the theta* chi2 at the published medians drops to
+  0.09/2.0/1.6 (the residual is rounding amplified by the 0.00031
+  theta* error), and the full chi2 matches the published totals.
+
+The wCDM/wzCDM rows are therefore validated with
+get_preset(..., z_star="hu") — the configuration that produced them;
+the ΛCDM row passes under either variant because its compared medians
+(H0, Om, rd) shift by well under 0.1 sigma between the two z* formulae.
+
+**bao.desi_bbn_theta_star [wcdm]** — transcription-style parity bug
+found by the precheck and FIXED in r4: the reference's bbn variant
+uses theta_100_err = 0.00053 (bao/desi_bbn_theta_star.py:17), not the
+Plik 0.00031 the omh2 variant uses; cosmax's preset had inherited the
+default. With the correct error the f64 chi2 at the published medians
+is 10.16 vs published 10.03 (the reference's own current code gives
+bao 9.10 + theta 1.06 + bbn prior, the same 10.16). The ΛCDM and wzCDM
+rows were insensitive (theta* chi2 ~0.002 at their medians), which is
+why the bug survived three rounds of ΛCDM-only validation.
 
 **bao.sdss [wcdm / wzcdm]** — the published medians are offset from the
 *exact* posterior of their own documented likelihood. Evidence:
@@ -441,33 +604,52 @@ def main(argv=None):
                     help="hmc: gradient-based cross-check (use with "
                          "--only and a scratch --out; the committed "
                          "VALIDATION.md is the ensemble sweep)")
+    ap.add_argument("--recompose", action="store_true",
+                    help="rebuild the .md from the JSON sidecar of a "
+                         "previous full sweep (no sampling) — for "
+                         "updating the static sections without "
+                         "re-running hours of chains")
     args = ap.parse_args(argv)
     if args.only and args.out == "VALIDATION.md":
         # a partial sweep must not clobber the committed full table
         args.out = "VALIDATION.partial.md"
         print(f"--only given: writing {args.out} instead of VALIDATION.md",
               flush=True)
+    sidecar = args.out + ".results.json"
 
-    results = []
-    for case in CASES:
-        label = f"{case[0]}[{case[1]}]" + (str(case[2]) if case[2] else "")
-        if args.only and args.only not in label:
-            continue
-        print(f"=== {label}", flush=True)
-        try:
-            r = run_case(*case, quick=args.quick, sampler_kind=args.sampler)
-            results.append(r)
-            print(
-                f"    worst |dmedian|/sigma_pub = {r['worst_z']:.3f}, "
-                f"chi2 {r['chi2_got']:.2f} (pub {r['chi2_pub']}), "
-                f"{r['walltime']:.0f}s",
-                flush=True,
-            )
-        except Exception as e:
-            import traceback
+    import json
 
-            traceback.print_exc()
-            results.append(dict(preset=case[0], model=case[1], error=str(e)))
+    if args.recompose:
+        with open(sidecar) as f:
+            results = json.load(f)
+        for r in results:
+            if "rows" in r:
+                r["rows"] = [tuple(row) for row in r["rows"]]
+    else:
+        results = []
+        for case in CASES:
+            label = f"{case[0]}[{case[1]}]" + (str(case[2]) if case[2] else "")
+            if args.only and args.only not in label:
+                continue
+            print(f"=== {label}", flush=True)
+            try:
+                r = run_case(*case, quick=args.quick,
+                             sampler_kind=args.sampler)
+                results.append(r)
+                print(
+                    f"    worst |dmedian|/sigma_pub = {r['worst_z']:.3f}, "
+                    f"chi2 {r['chi2_got']:.2f} (pub {r['chi2_pub']}), "
+                    f"{r['walltime']:.0f}s",
+                    flush=True,
+                )
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                results.append(dict(preset=case[0], model=case[1],
+                                    error=str(e)))
+        with open(sidecar, "w") as f:
+            json.dump(results, f, default=float)
 
     lines = [
         "# VALIDATION — posterior parity vs published reference results",
