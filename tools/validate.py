@@ -260,18 +260,35 @@ CASES = [
       "Obh2": (0.02219, 0.000545), "w0": (-0.803, 0.066)}, 30.4),
     # bao/desi_cmb.py:249-322 wCDM / wzCDM / w0waCDM on the desi
     # compression and all four families on chen
+    # All desi-compression families inherit the bao.desi_cmb lcdm
+    # version drift (see the Attribution section): the current
+    # reference code gives chi2 11.72/12.20/8.04 at the published
+    # medians vs published 11.51/11.77/6.81, and its own MAP rd is
+    # offset from the published rd by the z*-formula change. The
+    # exactly reproducible target is the current-code MAP
+    # (scipy Nelder-Mead on the f64 parity likelihood).
     ("bao.desi_cmb", "wcdm", {"compression": "desi"},
      {"rd": (148.36, 0.515), "H0": (68.50, 0.98), "Om": (0.3016, 0.00845),
       "Obh2": (0.02228, 0.00014), "w0": (-1.023, 0.0395)}, 11.51,
-     {"steps_mult": 4}),
+     {"steps_mult": 4,
+      "alt": {"label": "current-code MAP",
+              "target": {"rd": 148.38854, "H0": 68.49329, "Om": 0.30152,
+                         "Obh2": 0.02228, "w0": -1.02293}}}),
     ("bao.desi_cmb", "wzcdm", {"compression": "desi"},
      {"rd": (148.42, 0.515), "H0": (68.03, 1.385), "Om": (0.3050, 0.01205),
       "Obh2": (0.02231, 0.00014), "w0": (-1.002, 0.090)}, 11.77,
-     {"steps_mult": 4}),
+     {"steps_mult": 4,
+      "alt": {"label": "current-code MAP",
+              "target": {"rd": 148.44343, "H0": 68.04094, "Om": 0.30478,
+                         "Obh2": 0.02231, "w0": -1.00388}}}),
     ("bao.desi_cmb", "w0wacdm", {"compression": "desi"},
      {"rd": (147.71, 0.56), "H0": (63.97, 2.095), "Om": (0.3482, 0.02385),
       "Obh2": (0.02219, 0.00014), "w0": (-0.50, 0.245), "wa": (-1.49, 0.71)},
-     6.81, {"steps_mult": 4}),
+     6.81, {"steps_mult": 4,
+            "alt": {"label": "current-code MAP",
+                    "target": {"rd": 147.76325, "H0": 64.02317,
+                               "Om": 0.34735, "Obh2": 0.02220,
+                               "w0": -0.50933, "wa": -1.43741}}}),
     ("bao.desi_cmb", "lcdm", {"compression": "chen"},
      {"rd": (148.00, 0.52), "H0": (68.07, 0.445), "Om": (0.3076, 0.0059),
       "Obh2": (0.02246, 0.00013)}, 12.83, {"steps_mult": 4}),
@@ -337,6 +354,19 @@ current reference code and cannot be reproduced by it:
 cosmax's posterior median sits on the current-code MAP to <= 0.02
 sigma; the residual ~0.1 sigma against the *published* medians is
 reference-version drift, not a cosmax bias. The table reports both.
+
+**bao.desi_cmb [wcdm / wzcdm / w0wacdm, desi compression]** — the same
+version drift, measured the same way (r4): the current-code f64 chi2
+at the published medians is 11.72 / 12.20 / 8.04 vs published
+11.51 / 11.77 / 6.81 (deltas far beyond rounding), and the
+current-code MAP chi2 is 11.56 / 11.85 / 6.68 — no point in parameter
+space reaches the published values. The drift is confined to rd
+(published rd is 0.03-0.06 below the current-code MAP rd on every
+family, the z*-formula signature; every other parameter agrees to
+<= 0.04 sigma directly). cosmax's medians sit on the current-code MAP
+to <= 0.06 sigma on all three families; the chen-compression rows —
+published *after* the z* switch — pass directly at <= 0.04, which
+isolates the drift to the desi-compression publication epoch.
 
 **bao.desi_omh2_theta_star [all families]** — the published rows
 predate the current reference code's switch to the Aizpuru A4 z*
