@@ -673,8 +673,10 @@ def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
     of Bu^T|Bv^T, dimension m <= min(N, 2R)) rotates both sides into
     R^m without changing the 2-norm, so the runtime never
     materialises a length-N vector: per walker one barycentric
-    contraction to a [R] (plus a coarse one when radiation is on and
-    an axpy in R^R), one [R, 2m] matmul, and an axpy + square-reduce.
+    contraction to a [R] (plus, when radiation is on, a coarse one to
+    the delta's own rd-dim subspace of the rank space — rd < R, see
+    the inline note — lifted by one [rd, R] matmul into an axpy in
+    R^R), one [R, 2m] matmul, and an axpy + square-reduce.
     Every truncation is held to <= 1e-6 * max|base| elementwise — the
     same relative contract as the value emulator (tests assert the
     chi^2 agreement directly).
@@ -688,6 +690,25 @@ def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
     )
     a_fac, ad_fac = a_all[: stacked.shape[0]], a_all[stacked.shape[0] :]
 
+    # The delta coefficients span far fewer of the R shared rank-space
+    # directions than the base does (the radiation response is a small
+    # smooth perturbation): SVD ad_fac [Mc, R] and keep the smallest
+    # rd whose data-space reconstruction still meets the contract —
+    # measured rd = 11 vs R = 23 on the wzcdm 32^2 grid. The runtime
+    # delta coefficient then lives in R^rd and one [rd, R] matmul
+    # (2*rd*R flops) lifts it into the shared rank space — cheaper
+    # than contracting the node core against a full-R last axis
+    # (the (10,12,23) Tucker core this replaces cost as much as the
+    # base program's own contraction).
+    du, ds, dvt = np.linalg.svd(ad_fac, full_matrices=False)
+    rd = 1
+    while rd < ds.size and np.max(np.abs(
+        ((du[:, :rd] * ds[:rd]) @ dvt[:rd]) @ b - dstacked
+    )) > tol:
+        rd += 1
+    pd_fac = du[:, :rd] * ds[:rd]  # [Mc, rd]
+    smat = dvt[:rd]  # [rd, R]
+
     bu, bv = b[:, :n], b[:, n:]
     z = np.concatenate([bu.T, bv.T], axis=1)  # [N, 2R]
     qu, qs, _ = np.linalg.svd(z, full_matrices=False)
@@ -700,24 +721,27 @@ def _whitened_chi2_factor(base, node_shape, delta, c_node_shape):
         a_fac.reshape(*node_shape, -1), node_shape, tol, proj=b, ref=stacked
     )
     repd = _compress(
-        ad_fac.reshape(*c_node_shape, -1),
+        pd_fac.reshape(*c_node_shape, -1),
         c_node_shape,
         tol,
-        proj=b,
+        proj=smat @ b,
         ref=dstacked,
     )
-    return rep, jnp.asarray(ct), repd, m
+    return rep, jnp.asarray(ct), repd, jnp.asarray(smat), m
 
 
 def _chi2_from_block(weights, rep, ct, m, sigma8, delta=None):
     """chi2 = |y_u - sigma8 y_v|^2 in the m-dim residual basis;
-    ``delta = (cweights, repd, t_or)`` adds the radiation correction
-    t * ad to the shared rank-space coefficient first."""
+    ``delta = (cweights, repd, smat, t_or)`` adds the radiation
+    correction t * (ad @ smat) to the shared rank-space coefficient
+    first (ad lives in the delta's own rd-dim subspace; smat [rd, R]
+    lifts it — see :func:`_whitened_chi2_factor`)."""
     hi = jax.lax.Precision.HIGHEST
     a = _coeff(weights, rep)  # [R]
     if delta is not None:
-        cweights, repd, t_or = delta
-        a = a + t_or * _coeff(cweights, repd)  # shared z basis
+        cweights, repd, smat, t_or = delta
+        ad = _coeff(cweights, repd)  # [rd]
+        a = a + t_or * jnp.tensordot(ad, smat, axes=(0, 0), precision=hi)
     y = jnp.tensordot(a, ct, axes=(0, 0), precision=hi)
     r = y[:m] - sigma8 * y[m:]
     return jnp.sum(r * r)
@@ -814,7 +838,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         u1c, vw1c = whitened_pair(
             cflat, to_params_or, (map_tag, "or", OR_REF)
         )
-        rep, ct, repd, m = _whitened_chi2_factor(
+        rep, ct, repd, smat, m = _whitened_chi2_factor(
             (np.asarray(u0, np.float64), np.asarray(vw0, np.float64)),
             node_shape,
             (
@@ -825,7 +849,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
         )
         c_axes_j = [jnp.asarray(ax) for ax in c_axes]
         c_bw = jnp.asarray(_bary_weights(len(c_axes[0])))
-        return rep, ct, repd, m, c_axes_j, c_bw
+        return rep, ct, repd, smat, m, c_axes_j, c_bw
 
     if model == "w0wacdm":
         # split-axis treatment, same rationale as _make_fs8_emulator_w0wa
@@ -857,14 +881,14 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
             w_om = _bary_vector(p["Om"], om_j, bw)
             w_wa = _bary_vector(p["wa"], wa_j, bw)
             outs = []
-            for s_ax, rep, ct, repd, m, c_axes_j, c_bw in halves:
+            for s_ax, rep, ct, repd, smat, m, c_axes_j, c_bw in halves:
                 delta = None
                 if orr is not None:
                     cw = [
                         _bary_vector(x, ax, c_bw)
                         for x, ax in zip((p["Om"], p["wa"], s), c_axes_j)
                     ]
-                    delta = (cw, repd, orr / OR_REF)
+                    delta = (cw, repd, smat, orr / OR_REF)
                 outs.append(
                     _chi2_from_block(
                         [w_om, w_wa, _bary_vector(s, s_ax, bw)],
@@ -884,7 +908,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
     if n_nodes is None:
         n_nodes = {1: 48, 2: 32}[ndim_p]
     axes = [_cheb_nodes(n_nodes, *DOMAINS[n]) for n in pnames]
-    rep, ct, repd, m, c_axes_j, c_bw = factor(
+    rep, ct, repd, smat, m, c_axes_j, c_bw = factor(
         axes,
         lambda theta: dict(zip(pnames, theta)),
         ("native",) + pnames,
@@ -904,7 +928,7 @@ def _make_fs8_chi2_emulator(z_data, model, linv, fs8_obs, fid_denom, n_nodes, su
                 _bary_vector(p[name], nodes, c_bw)
                 for name, nodes in zip(pnames, c_axes_j)
             ]
-            delta = (cw, repd, orr / OR_REF)
+            delta = (cw, repd, smat, orr / OR_REF)
         return _chi2_from_block(weights, rep, ct, m, p["sigma8"], delta)
 
     return chi2
