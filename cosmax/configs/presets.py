@@ -177,6 +177,15 @@ def get_preset(
 
     with use_fast_mode(fast), use_synthetic_sys(synthetic_sys):
         fit = PRESETS[name](model, **kwargs)
+        if fast:
+            # narrow the preset's emulator bundles (still unbuilt —
+            # finalize is lazy) to its own prior box: smaller ranks,
+            # smaller table scale, same absolute contract
+            from cosmax.models.linear_chi2 import set_scope_domains
+
+            set_scope_domains({
+                nm: tuple(b) for nm, b in zip(fit.spec.names, fit.spec.bounds)
+            })
     if fit.moves is None:
         fit = replace(fit, moves=default_moves())
     return fit

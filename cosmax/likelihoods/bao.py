@@ -80,15 +80,26 @@ def build_bao_term(
     grid: tuple = ("gl", 64),
     name: str = "bao",
 ) -> Term:
-    """grid: ('gl', order) fast path | ('dyn_trapz', n_base) or
-    ('fixed_trapz', n) parity paths matching the reference's
+    """grid: ('emu',) fast path | ('gl', order) | ('dyn_trapz', n_base)
+    or ('fixed_trapz', n) parity paths matching the reference's
     per-script discretisations (bao/desi.py:34 uses 300,
     bao/desi_cmb_des5y.py:63 uses 250, quasars/qsr_desi.py:39-41
-    uses fixed 3000-pt grids)."""
+    uses fixed 3000-pt grids).
+
+    The 'emu' path exploits that every BAO observable is homogeneous
+    of degree 1 in c/H0 — DH = (c/H0)/E, DM = (c/H0) Int dz'/E and
+    DV = (z DM^2 DH)^(1/3) all scale together — so the whitened
+    theory vector is beta(p) * t_hat(theta) with
+    beta = (c/H0) / r_d(p) a scalar that covers ALL r_d treatments
+    unchanged, and t_hat a smooth function of the 1-3 dark-energy
+    parameters that models.linear_chi2 tabulates at build time. Per
+    evaluation: a rank-space contraction + O(R) flops, no quadrature
+    (radiation enters as the same secant-delta axpy as the fs8
+    emulator)."""
     from cosmax.likelihoods.fastmode import fast_mode, GL_ORDER
 
     if fast_mode():
-        grid = ("gl", GL_ORDER)
+        grid = ("emu",)
     z = np.asarray(dataset.z, dtype=np.float64)
     qty = np.asarray(dataset.quantity)
     values = np.asarray(dataset.values, dtype=np.float64)
@@ -98,6 +109,48 @@ def build_bao_term(
     mask_dh = (qty == QTY_DH).astype(np.float64)
 
     kind = grid[0]
+    if kind == "emu":
+        from cosmax.constants import C_KM_S
+        from cosmax.models.distances import make_prefix_comoving_integral
+        from cosmax.models.background import e_of_z
+        from cosmax.models.linear_chi2 import _hash_arrays, make_linear_chi2
+        import jax
+
+        z_unique, z_inverse = np.unique(z, return_inverse=True)
+
+        def curve_fn(flat, to_params):
+            # t_hat at H0 = c, r_d = 1: dh_hat = 1/E, dm_hat = Int dz'/E
+            # (16-node build panels; runtime uses none), dv_hat the
+            # same cube-root mix as the runtime path below
+            prefix = make_prefix_comoving_integral(z_unique, model, order=16)
+
+            def one(theta):
+                p = to_params(theta)
+                dhh = 1.0 / e_of_z(jnp.asarray(z), p, model)
+                dmh = prefix(p)[z_inverse]
+                dvh = jnp.cbrt(jnp.asarray(z) * dmh * dmh * dhh)
+                t_hat = (
+                    jnp.asarray(mask_dh) * dhh
+                    + jnp.asarray(mask_dm) * dmh
+                    + jnp.asarray(mask_dv) * dvh
+                )
+                return jnp.tensordot(jnp.asarray(linv), t_hat, axes=(1, 0))
+
+            return np.asarray(jax.vmap(one)(jnp.asarray(flat, jnp.float64)))
+
+        u0 = np.asarray(linv, np.float64) @ values
+        chi2 = make_linear_chi2(
+            model,
+            curve_fn,
+            tag=f"bao-{model}",
+            key_extra=_hash_arrays(z, values, qty.astype(np.float64), linv),
+            u0_c=u0,
+            u0_sq=float(u0 @ u0),
+            beta_fn=lambda p: C_KM_S / (p["H0"] * rd_fn(p)),
+            beta_ref=C_KM_S / (70.0 * 147.09),
+        )
+        return _bao_term(name, dataset, chi2, model, rd_fn, z, qty, values)
+
     if kind in ("dyn_trapz", "fixed_trapz"):
         tgrid, tw = trapz_grid_weights(z, grid[1], dynamic=(kind == "dyn_trapz"))
 
@@ -135,6 +188,10 @@ def build_bao_term(
         theory = (mask_dh * dh + mask_dm * dm + mask_dv * dv) / rd_fn(p)
         return chi2_from_whitener(linv, values - theory)
 
+    return _bao_term(name, dataset, chi2, model, rd_fn, z, qty, values)
+
+
+def _bao_term(name, dataset, chi2, model, rd_fn, z, qty, values):
     def theory_curve(p, z_grid, which):
         """Smooth D_{V,M,H}/r_d curve for plotting (which in {0,1,2})."""
         zg = jnp.asarray(z_grid)

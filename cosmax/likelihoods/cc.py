@@ -29,7 +29,17 @@ def build_cc_term(
     f_param: str = None,
     convention: str = "divide",
     name: str = "cc",
+    method: str = "direct",
 ) -> Term:
+    """method 'direct' evaluates H(z) = H0 E(z) per walker (already
+    quadrature-free); 'emulated' (the fast-mode default) notes the
+    whitened residual Linv (H_obs - H0 E(z_i; theta)) is linear in H0
+    and tabulates Linv E on the family's parameter grid
+    (models.linear_chi2), collapsing the term to a rank-space
+    contraction — no per-walker sqrt/exp chain over the 33 redshifts.
+    The f rescaling wraps either path analytically."""
+    from cosmax.likelihoods.fastmode import fast_mode
+
     z = np.asarray(dataset.z, dtype=np.float64)
     h_obs = np.asarray(dataset.values, dtype=np.float64)
     linv = dataset.linv
@@ -38,8 +48,38 @@ def build_cc_term(
     if convention not in ("divide", "multiply"):
         raise ValueError(convention)
 
-    def base_chi2(p):
-        return chi2_from_whitener(linv, h_obs - hubble(z, p, model))
+    if method == "direct" and fast_mode():
+        method = "emulated"
+    if method == "emulated":
+        from cosmax.models.background import e_of_z
+        from cosmax.models.linear_chi2 import _hash_arrays, make_linear_chi2
+        import jax
+
+        def curve_fn(flat, to_params):
+            def one(theta):
+                e = e_of_z(jnp.asarray(z), to_params(theta), model)
+                return jnp.tensordot(jnp.asarray(linv), e, axes=(1, 0))
+
+            return np.asarray(jax.vmap(one)(jnp.asarray(flat, jnp.float64)))
+
+        u0 = np.asarray(linv, np.float64) @ h_obs
+        base_chi2 = make_linear_chi2(
+            model,
+            curve_fn,
+            tag=f"cc-{model}",
+            key_extra=_hash_arrays(z, h_obs, linv),
+            u0_c=u0,
+            u0_sq=float(u0 @ u0),
+            beta_fn=lambda p: p["H0"],
+            beta_ref=70.0,
+        )
+    elif method == "direct":
+
+        def base_chi2(p):
+            return chi2_from_whitener(linv, h_obs - hubble(z, p, model))
+
+    else:
+        raise ValueError(f"unknown CC method {method!r}")
 
     meta = dict(
         n=n,

@@ -25,6 +25,16 @@ def use_fast_mode(on: bool = True):
     prev = _FAST
     _FAST = on
     try:
-        yield
+        if on:
+            # terms built in one fast-mode scope co-compress their
+            # parameter-grid emulators into a single rank program per
+            # (model, grid) — the whole joint's geometry then costs one
+            # barycentric contraction (models.linear_chi2 docstring)
+            from cosmax.models.linear_chi2 import bundle_scope
+
+            with bundle_scope():
+                yield
+        else:
+            yield
     finally:
         _FAST = prev

@@ -15,6 +15,7 @@ and the Cepheid-anchored variant (sn/pantheon_and_sh0es.py:34-45).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cosmax.constants import C_KM_S
@@ -69,11 +70,11 @@ def build_sn_term(
     * ``dense`` (parity path) — the reference scheme verbatim: shared
       cumulative-trapezoid grid + interp, then the whitened-residual
       matmul against the full N x N factor (sn/pantheon.py:32-40).
-    * ``compressed`` (fast path) — exploits that the per-walker theory
-      vector is mu_i = const_i + offset + g(z_i) with g a single smooth
-      scalar function: g is represented on ``cheb_order`` Chebyshev
-      nodes in log z (spectral accuracy: K=32 matches K=96 chi^2 to
-      1e-9 across the CPL prior box, dense or diagonal covariance —
+    * ``compressed`` — exploits that the per-walker theory vector is
+      mu_i = const_i + offset + g(z_i) with g a single smooth scalar
+      function: g is represented on ``cheb_order`` Chebyshev nodes in
+      log z (spectral accuracy: K=32 matches K=96 chi^2 to 1e-9 across
+      the CPL prior box, dense or diagonal covariance —
       tests/test_compressed_sn.py), the whitened basis projection
       P = Linv [B | 1] is folded
       at build time, and chi^2 collapses to a (K+1)-dim quadratic form
@@ -82,11 +83,27 @@ def build_sn_term(
       centred on a reference curve so the f32 fast path loses no
       precision to cancellation. g(z_k) uses Gauss-Legendre comoving
       integrals per node.
+    * ``emulated`` (fast path) — goes one step further: the only
+      theta-dependent part of the compressed coefficient vector is the
+      geometry deviation 5 log10(I(z_k; theta)/I_ref), a smooth
+      function of the 1-3 dark-energy parameters, while the magnitude
+      offset and a sampled H0 both shift mu UNIFORMLY (the -5 log10 h
+      term) — i.e. the residual is linear in every non-geometric
+      parameter. models.linear_chi2 tabulates the whitened-metric
+      coefficient curve on a Chebyshev parameter grid at build time
+      and chi^2 collapses to a rank-space contraction + O(R) flops:
+      no per-evaluation quadrature or log10 at all (radiation enters
+      as the same secant-delta axpy as the fs8 emulator).
     """
     from cosmax.likelihoods.fastmode import fast_mode
 
     if method == "dense" and fast_mode():
-        method = "compressed"
+        method = "emulated"
+    if method == "emulated":
+        return _build_emulated_sn(
+            dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
+            cepheids=cepheids,
+        )
     if method == "compressed":
         return _build_compressed_sn(
             dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
@@ -138,13 +155,11 @@ def build_sn_term(
     )
 
 
-def _build_compressed_sn(
-    dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
-    cepheids: bool = False,
-):
+def _sn_geometry(dataset, mag_param, h0, use_z_hel, cheb_order, cepheids):
+    """Shared build-time f64 geometry of the compressed/emulated SN
+    paths: the log-z Chebyshev basis, the whitened basis projection,
+    the reference curve and the residual/quadratic-form data."""
     import scipy.integrate
-
-    from cosmax.models.distances import make_prefix_comoving_integral
 
     z_cmb = np.asarray(dataset.z_cmb, dtype=np.float64)
     mags = np.asarray(dataset.values, dtype=np.float64)
@@ -163,7 +178,6 @@ def _build_compressed_sn(
     else:
         cal_mask = np.zeros(z_cmb.size, dtype=bool)
 
-    # --- build-time f64 geometry -------------------------------------
     hubble_flow = ~cal_mask
     u_data = np.where(hubble_flow, np.log(z_cmb), 0.0)
     nodes_u = _cheb_nodes(
@@ -177,7 +191,7 @@ def _build_compressed_sn(
 
     const = 25.0 + 5.0 * np.log10(one_plus_z_hel)
     if cepheids:
-        const = np.where(cal_mask, ceph_dist, const)
+        const = np.where(cal_mask, np.asarray(dataset.ceph_dist), const)
     d_prime = mags - const
 
     # reference curve: flat LCDM Om=0.3 at the fixed/typical H0
@@ -198,6 +212,32 @@ def _build_compressed_sn(
     c_ref = np.concatenate([g_ref, [offset_ref]])
 
     u_ref = linv @ d_prime - p_mat @ c_ref  # whitened residual at ref
+    return dict(
+        z_cmb=z_cmb,
+        mags=mags,
+        linv=linv,
+        z_nodes=z_nodes,
+        b_tilde=b_tilde,
+        p_mat=p_mat,
+        const=const,
+        h0_ref=h0_ref,
+        i_ref=i_ref,
+        offset_ref=offset_ref,
+        c_ref=c_ref,
+        u_ref=u_ref,
+    )
+
+
+def _build_compressed_sn(
+    dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
+    cepheids: bool = False,
+):
+    from cosmax.models.distances import make_prefix_comoving_integral
+
+    geo = _sn_geometry(dataset, mag_param, h0, use_z_hel, cheb_order, cepheids)
+    z_cmb, mags, linv = geo["z_cmb"], geo["mags"], geo["linv"]
+    z_nodes, b_tilde, p_mat = geo["z_nodes"], geo["b_tilde"], geo["p_mat"]
+    const, c_ref, u_ref = geo["const"], geo["c_ref"], geo["u_ref"]
     chi2_ref = float(u_ref @ u_ref)
     b_vec = p_mat.T @ u_ref  # [K+1]
     gram = p_mat.T @ p_mat  # [K+1, K+1]
@@ -235,6 +275,116 @@ def _build_compressed_sn(
         full = pdot(jnp.asarray(b_tilde), dc + jnp.asarray(c_ref, dtype=dc.dtype))
         return jnp.asarray(const) + full
 
+    return _sn_term(name, dataset, chi2, theory_mag, "compressed")
+
+
+def _build_emulated_sn(
+    dataset, model, mag_param, h0, use_z_hel, cheb_order, gl_order, name,
+    cepheids: bool = False,
+):
+    """Parameter-grid rank-space SN chi^2 (see build_sn_term docstring).
+
+    The whitened residual at walker p is
+
+        r(p) = u_ref - P_g (g(theta, h) - g_ref) - (mag - offset_ref) w_M
+
+    with P_g = Linv B the whitened log-z Chebyshev basis and
+    g(theta, h) - g_ref = ghat(theta) - 5 log10(h/h_ref) 1_K, where
+    ghat(theta) = 5 log10(I(z_k; theta) / I_ref) is the pure-geometry
+    deviation. Thin-QR P_g = Q R and emulate the whitened-metric
+    coefficient curve c(theta) = R ghat(theta): the magnitude column
+    w_M = Linv 1 and the uniform-shift column P_g 1_K are FIXED
+    vectors, so models.linear_chi2 covers the whole term with beta = 1
+    and gamma = (mag - offset_ref, -5 log10(h/h_ref)).
+    """
+    from cosmax.models.distances import make_prefix_comoving_integral
+    from cosmax.models.linear_chi2 import _hash_arrays, make_linear_chi2
+
+    geo = _sn_geometry(dataset, mag_param, h0, use_z_hel, cheb_order, cepheids)
+    z_nodes, p_mat, i_ref = geo["z_nodes"], geo["p_mat"], geo["i_ref"]
+    u_ref, offset_ref = geo["u_ref"], geo["offset_ref"]
+    h0_ref = geo["h0_ref"]
+
+    k = z_nodes.size
+    p_g = p_mat[:, :k]
+    q_basis, r_q = np.linalg.qr(p_g)  # P_g = Q R, Q [N, K] orthonormal
+    log10_i_ref = np.log10(i_ref)
+
+    # build-time quadrature: 16-node GL panels between Chebyshev nodes
+    # (runtime panels use 6; dmu converges to ~1e-15 well below that)
+    build_order = 16
+
+    def curve_fn(flat, to_params):
+        prefix = make_prefix_comoving_integral(
+            z_nodes, model, order=build_order
+        )
+
+        def one(theta):
+            integral = prefix(to_params(theta))
+            ghat = 5.0 * (jnp.log10(integral) - jnp.asarray(log10_i_ref))
+            return jnp.tensordot(jnp.asarray(r_q), ghat, axes=(1, 0))
+
+        return np.asarray(jax.vmap(one)(jnp.asarray(flat, jnp.float64)))
+
+    # fixed residual columns: the magnitude direction, plus the uniform
+    # -5 log10(h/h_ref) shift when H0 is sampled (both act only through
+    # the hubble-flow basis rows; cepheid rows have zeroed b_mat rows)
+    w_cols = [p_mat[:, k]]
+    sampled_h0 = isinstance(h0, str)
+    if sampled_h0:
+        w_cols.append(p_g @ np.ones(k))
+    w_full = np.stack(w_cols, axis=1)  # [N, J]
+
+    if sampled_h0:
+        h0_name = h0
+
+        def gamma_fn(p):
+            return jnp.stack([
+                p[mag_param] - offset_ref,
+                -5.0 * jnp.log10(p[h0_name] / h0_ref),
+            ])
+    else:
+
+        def gamma_fn(p):
+            return jnp.reshape(p[mag_param] - offset_ref, (1,))
+
+    chi2 = make_linear_chi2(
+        model,
+        curve_fn,
+        tag=f"sn-{model}",
+        key_extra=_hash_arrays(z_nodes, r_q, log10_i_ref)
+        + f"-o{build_order}",
+        u0_c=q_basis.T @ u_ref,
+        u0_sq=float(u_ref @ u_ref),
+        w_c=q_basis.T @ w_full,
+        q0=w_full.T @ u_ref,
+        s_mat=w_full.T @ w_full,
+        gamma_fn=gamma_fn,
+    )
+
+    # plots evaluate the theory curve off the hot path: reuse the
+    # compressed representation (prefix quadrature + basis expansion)
+    b_tilde, const, c_ref = geo["b_tilde"], geo["const"], geo["c_ref"]
+    prefix_integral = make_prefix_comoving_integral(
+        z_nodes, model, order=max(6, gl_order // 16)
+    )
+
+    def theory_mag(p):
+        integral = prefix_integral(p)
+        if h0 is None:
+            g = 5.0 * jnp.log10(C_KM_S * integral)
+        else:
+            h0_val = p[h0] if isinstance(h0, str) else h0
+            g = 5.0 * jnp.log10((C_KM_S / h0_val) * integral)
+        coef = jnp.concatenate([g, jnp.reshape(p[mag_param], (1,))])
+        from cosmax.ops.linalg import pdot
+
+        return jnp.asarray(const) + pdot(jnp.asarray(b_tilde), coef)
+
+    return _sn_term(name, dataset, chi2, theory_mag, "emulated")
+
+
+def _sn_term(name, dataset, chi2, theory_mag, method):
     return Term(
         name=name,
         chi2=chi2,
@@ -242,11 +392,11 @@ def _build_compressed_sn(
             n=dataset.n,
             legend=dataset.legend,
             theory_mag=theory_mag,
-            values=mags,
-            linv=linv,
-            method="compressed",
+            values=np.asarray(dataset.values, dtype=np.float64),
+            linv=dataset.linv,
+            method=method,
             plot_kind="sn",
-            z=z_cmb,
+            z=np.asarray(dataset.z_cmb, dtype=np.float64),
             errors=np.sqrt(np.diag(dataset.cov)),
         ),
     )

@@ -73,15 +73,15 @@ def test_h0_free_compressed(x64):
     assert float(comp.chi2(p)) == pytest.approx(float(dense.chi2(p)), abs=0.01)
 
 
-def test_fast_preset_uses_compressed():
+def test_fast_preset_uses_emulated():
     from cosmax.configs import get_preset
 
     fast = get_preset("bao.desi_cmb_des5y", "wzcdm", fast=True)
     slow = get_preset("bao.desi_cmb_des5y", "wzcdm")
     sn_fast = [t for t in fast.terms if t.name == "sn"][0]
     sn_slow = [t for t in slow.terms if t.name == "sn"][0]
-    assert sn_fast.meta.get("method") == "compressed"
-    assert sn_slow.meta.get("method") != "compressed"
+    assert sn_fast.meta.get("method") == "emulated"
+    assert sn_slow.meta.get("method") not in ("compressed", "emulated")
 
 
 def test_cepheid_anchored_compressed(x64):
