@@ -97,6 +97,13 @@ def build_sn_term(
     """
     from cosmax.likelihoods.fastmode import fast_mode
 
+    # normalise numeric h0 (int / np.float64) to a Python float so the
+    # `isinstance(h0, float)` / `isinstance(h0, str)` dispatch below
+    # and in _sn_geometry can't silently drop the -5 log10(h0/70)
+    # magnitude shift on the emulated path (ADVICE r4)
+    if h0 is not None and not isinstance(h0, str):
+        h0 = float(h0)
+
     if method == "dense" and fast_mode():
         method = "emulated"
     if method == "emulated":

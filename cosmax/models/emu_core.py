@@ -144,6 +144,14 @@ _SOLVER_SOURCES = (
     "models/distances.py",
     "ops/ode.py",
     "ops/quadrature.py",
+    # likelihood modules whose curve_fn bodies (BAO build panels,
+    # CC/SN assembly) determine linear_chi2 table contents — edits to
+    # them must invalidate cached tables too (ADVICE r4)
+    "likelihoods/bao.py",
+    "likelihoods/cc.py",
+    "likelihoods/sn.py",
+    "likelihoods/fs8.py",
+    "likelihoods/quasars.py",
 )
 _SOURCE_HASH = None
 

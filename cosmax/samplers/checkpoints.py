@@ -379,10 +379,17 @@ def _warmup_checkpointed(sampler, key, n_warmup, initial, path, every):
         if healthy or retries >= 2:
             break
         # same seed-lottery retry as HMCSampler.warmup: restart the
-        # schedule from the ORIGINAL initial state with a folded key
+        # schedule from the ORIGINAL initial state with a folded key.
+        # HMCSampler.warmup folds CUMULATIVELY (retry r's key is
+        # fold_in(...fold_in(key, 1)..., r) because init_state is
+        # reassigned each iteration) — replay the same chain here so
+        # every retry, not just the first, stays bitwise identical.
         retries += 1
         init = sampler.prepare_state(key, initial)
-        state = init._replace(key=jax.random.fold_in(init.key, retries))
+        k = init.key
+        for i in range(1, retries + 1):
+            k = jax.random.fold_in(k, i)
+        state = init._replace(key=k)
         adapt = sampler.init_adapt_state()
         done = 0
     sampler.warmup_retries = retries
