@@ -6,10 +6,12 @@ log-probability evaluations per second on the default JAX device,
 against the BASELINE.json target of 1e6 evals/sec/chip
 (vs_baseline = evals_per_sec / 1e6).
 
-The measured function is the production fast path: GL-64 BAO distances,
-GL-128 sound horizon, and the compressed Chebyshev-basis SN chi^2
-(a 65-dim whitened quadratic form replacing the [W,1829] x [1829^2]
-matmul — see cosmax/likelihoods/sn.py).
+The measured function is the production fast path: the preset's
+bundled rank-space emulator (cosmax/models/linear_chi2.py) — SN, BAO
+and CC geometry co-compressed into ONE Tucker/TT contraction per eval
+(round 5 folded the quasar curve and the fs8 residual pair into the
+same contraction for the multiprobe config) — plus the CMB term's
+GL-64 sound horizon. See ARCHITECTURE.md "One contraction per joint".
 
 A bare run (no --config) measures ALL four configs — flagship,
 multiprobe, lockstep, hmc — and prints one JSON line per config, so the

@@ -53,19 +53,59 @@ def build_fs8_term(
     fid_denom = _fiducial_denominator(z, np.asarray(dataset.omega_fid))
 
     if fast_mode():
-        # Whitened rank-space chi^2 emulator: the Chebyshev growth
-        # emulator (spectral interpolation in Om, w0[, wa]; <=2e-6
-        # agreement with the ODE tested), the AP comoving integrals,
-        # the data multiply AND the covariance whitening are all folded
-        # into build-time factors, so the runtime is one barycentric
-        # tensor contraction plus a tiny rank-space axpy — no length-N
-        # intermediates per walker at all (growth_emulator.
-        # make_fs8_chi2_emulator; chi^2 agreement with the parity path
-        # asserted in tests/test_growth_emulator.py).
-        from cosmax.models.growth_emulator import make_fs8_chi2_emulator
+        # Whitened rank-space residual riding the preset bundle's ONE
+        # shared contraction (round 5; the round-3/4 standalone Tucker
+        # program, growth_emulator.make_fs8_chi2_emulator, was 31% of
+        # the multiprobe joint's wall time as a separate dispatch
+        # chain). The residual is Linv(obs*q_AP(theta)) - sigma8 *
+        # Linv fs8(theta)/sigma8 — two geometry-only curves — so both
+        # register as one GROUP (shared orthonormal basis, measured
+        # joint rank 16 vs 9+10 separate on the multiprobe box) and
+        # the runtime forms the rank-space residual coefficient before
+        # squaring (models.linear_chi2.make_amp_pair_chi2). The growth
+        # ODE, AP comoving integrals, data multiply and covariance
+        # whitening are all folded into the build-time f64 tables,
+        # disk-cached per preset box; chi^2 agreement with the parity
+        # path is asserted in tests/test_growth_emulator.py and
+        # tests/test_linear_chi2.py.
+        import jax
 
-        raw_chi2 = make_fs8_chi2_emulator(
-            z, model, linv, fs8_obs, fid_denom, substeps=ode_substeps
+        from cosmax.models.growth import growth_solution
+        from cosmax.models.linear_chi2 import _hash_arrays, make_amp_pair_chi2
+
+        obs_over_fid = np.asarray(fs8_obs, np.float64) / fid_denom
+        linv64 = np.asarray(linv, np.float64)
+
+        def curve_u(flat, to_params):
+            def one(th):
+                p = to_params(th)
+                e = e_of_z(jnp.asarray(z), p, model)
+                dm = comoving_integral_gl(z, p, model, order=gl_order)
+                return (obs_over_fid * (e * dm)) @ linv64.T
+
+            return np.asarray(
+                jax.vmap(one)(jnp.asarray(flat, jnp.float64)), np.float64
+            )
+
+        def curve_v(flat, to_params):
+            a_z = 1.0 / (1.0 + np.asarray(z))
+
+            def one(th):
+                p = to_params(th)
+                a_grid, delta, ddelta = growth_solution(
+                    p, model, substeps=ode_substeps
+                )
+                dd = jnp.interp(jnp.asarray(a_z), a_grid, ddelta)
+                return (jnp.asarray(a_z) * dd / delta[-1]) @ linv64.T
+
+            return np.asarray(
+                jax.vmap(one)(jnp.asarray(flat, jnp.float64)), np.float64
+            )
+
+        raw_chi2 = make_amp_pair_chi2(
+            model, curve_u, curve_v, "fs8",
+            (_hash_arrays(z, linv64, obs_over_fid), gl_order, ode_substeps),
+            "sigma8",
         )
 
     else:

@@ -39,16 +39,61 @@ def build_quasar_term(
     z_grid = np.linspace(0.0, z.max(), num=grid_num)
 
     if fast_mode():
-        # prefix-GL comoving integrals at the bin redshifts replace the
-        # reference's 3000-pt cumulative-trapezoid grid (~17x fewer
-        # integrand evaluations, converged beyond the grid's own error)
+        # The mu(z_i; theta) curve is geometry-only (fixed h0), so it
+        # rides the preset bundle's single shared contraction
+        # (models.linear_chi2.make_curve_values): the per-eval
+        # prefix-GL integrals + log10 of round 3 (2.3k flops and 63%
+        # of the multiprobe joint's logical bytes, round-5 profile)
+        # collapse to one [R, K] lift out of the shared coefficient
+        # vector. The s-dependent diagonal metric — which is why this
+        # term can't be a fixed quadratic form — is applied
+        # analytically over the K bins below. Build-time tabulation
+        # uses prefix-GL at double the runtime order (16 vs the
+        # validated 8), f64, disk-cached.
         from cosmax.models.distances import make_prefix_comoving_integral
+        from cosmax.models.emu_core import f64_build
+        from cosmax.models.linear_chi2 import _hash_arrays, make_curve_values
 
-        prefix_integral = make_prefix_comoving_integral(z, model, order=8)
+        import jax
+
+        p_ref = {"Om": 0.3, "w0": -1.0, "wa": 0.0}
+
+        # mu_ref via the same machinery at the single reference point;
+        # the integral fn is created INSIDE the f64 context so its GL
+        # panel constants are exact f64 (make_prefix_comoving_integral
+        # bakes its node arrays at creation dtype)
+        with f64_build():
+            prefix_ref = make_prefix_comoving_integral(z, model, order=16)
+            mu_ref = np.asarray(
+                25.0 + 5.0 * jnp.log10(
+                    (1.0 + jnp.asarray(z)) * (C_KM_S / h0)
+                    * prefix_ref(p_ref)
+                ),
+                np.float64,
+            )
+
+        def curve_fn(flat, to_params):
+            prefix_integral = make_prefix_comoving_integral(z, model, order=16)
+
+            def one(th):
+                integral = prefix_integral(to_params(th))
+                mu_th = 25.0 + 5.0 * jnp.log10(
+                    (1.0 + jnp.asarray(z)) * (C_KM_S / h0) * integral
+                )
+                return mu_th - mu_ref
+
+            return np.asarray(
+                jax.vmap(one)(jnp.asarray(flat, jnp.float64)), np.float64
+            )
+
+        dmu = make_curve_values(
+            model, curve_fn, "qsr",
+            (_hash_arrays(z, mu_ref), float(h0), 16),
+        )
+        mu_ref_j = jnp.asarray(mu_ref)
 
         def mu_model(p):
-            integral = prefix_integral(p)
-            return 25.0 + 5.0 * jnp.log10((1.0 + z) * (C_KM_S / h0) * integral)
+            return mu_ref_j + dmu(p)
 
     else:
 

@@ -183,8 +183,13 @@ def _grid_spec(model, n_nodes, domains):
 
 class _Handle:
     """A term's window into its bundle, resolved at finalize: per-half
-    (slice into the shared coefficient vector, B_t [R_t, K] f64,
-    a_ref_t [R_t] f64, scale_t)."""
+    ``(slots, B_t [R_t, K] f64, scale_t)`` with one
+    ``(sl_a, sl_d, a_ref_t [R_t] f64)`` slot per curve of the entry's
+    group (single-curve entries have one slot; a GROUP registers
+    several curves that are SVD'd jointly so they share one
+    orthonormal basis — the fs8 data/theory pair needs this to form
+    its residual coefficient vector before squaring, see
+    :func:`make_amp_pair_chi2`)."""
 
     def __init__(self, bundle):
         self.bundle = bundle
@@ -209,10 +214,12 @@ class _Bundle:
             self.domains = dict(domains)
             self._final = None
 
-    def register(self, curve_fn, tag, key_extra):
+    def register(self, curve_fns, tag, key_extra):
+        """``curve_fns``: tuple of curve functions forming one group
+        (jointly SVD'd into a shared basis)."""
         key = (tag, key_extra)
         if key not in self.regs:
-            self.regs[key] = (curve_fn, _Handle(self))
+            self.regs[key] = (tuple(curve_fns), _Handle(self))
             self._final = None  # new curve: refinalize lazily
         return self.regs[key][1]
 
@@ -254,45 +261,60 @@ class _Bundle:
             offset = 0
             windows = {}
             for key in reg_keys:
-                curve_fn = self.regs[key][0]
+                curve_fns = self.regs[key][0]
                 tag, key_extra = key
-                base = _cached_curve(
-                    curve_fn, flat, to_params, map_tag, tag, key_extra
-                )
-                d = _cached_curve(
-                    curve_fn, flat, to_params_or, (map_tag, "or", OR_REF),
-                    tag, key_extra,
-                ) - base
-                scale = float(np.max(np.abs(base)))
-                # per-term SVD over stacked [base; delta] rows in the
-                # term's own scaled units: one orthonormal B_t serves
-                # both, and the radiation correction becomes an axpy
-                # on the coefficient slice (the fs8 shared-basis trick,
-                # growth_emulator._whitened_chi2_factor)
-                a_all, b_t = svd_rank_factor(
-                    np.concatenate([base, d], axis=0) / scale, TOL_SCALE
-                )
-                m = base.shape[0]
-                r_t = b_t.shape[0]
-                a_fac, ad_fac = a_all[:m], a_all[m:]
-                blocks.extend([a_fac, ad_fac])
-                # composed-verification bookkeeping: both the base and
-                # the delta reconstruction go through B_t
-                projs.extend([b_t, b_t])
-                refs.extend([base / scale, d / scale])
-                a_ref = a_fac.reshape(*node_shape, -1)
-                for x, ax in zip(theta_ref_vec, axes):
-                    a_ref = np.tensordot(
-                        bary_vector_np(x, ax), a_ref, axes=(0, 0)
+                tabs = []
+                for ci, cf in enumerate(curve_fns):
+                    ce = (
+                        key_extra if len(curve_fns) == 1
+                        else (key_extra, ci)
                     )
-                windows[key] = (
-                    slice(offset, offset + r_t),
-                    slice(offset + r_t, offset + 2 * r_t),
-                    b_t,
-                    np.asarray(a_ref, np.float64),
-                    scale,
+                    base = _cached_curve(cf, flat, to_params, map_tag, tag, ce)
+                    d = _cached_curve(
+                        cf, flat, to_params_or, (map_tag, "or", OR_REF),
+                        tag, ce,
+                    ) - base
+                    tabs.append((base, d))
+                # group scale: the truncation contract is held in the
+                # GROUP's units (one scale), so a multi-curve entry's
+                # residual combination stays inside the contract too
+                scale = float(max(np.max(np.abs(b)) for b, _ in tabs))
+                # per-entry SVD over stacked [base_c; delta_c]* rows in
+                # the entry's own scaled units: one orthonormal B_t
+                # serves every curve of the group AND its radiation
+                # delta, so the Or correction becomes an axpy on the
+                # coefficient slice (the fs8 shared-basis trick,
+                # growth_emulator._whitened_chi2_factor) and a group's
+                # curves combine linearly in ONE rank space
+                a_all, b_t = svd_rank_factor(
+                    np.concatenate(
+                        [t for pair in tabs for t in pair], axis=0
+                    ) / scale,
+                    TOL_SCALE,
                 )
-                offset += 2 * r_t
+                m = tabs[0][0].shape[0]
+                r_t = b_t.shape[0]
+                slots = []
+                for ci, (base, dtab) in enumerate(tabs):
+                    a_fac = a_all[2 * ci * m:(2 * ci + 1) * m]
+                    ad_fac = a_all[(2 * ci + 1) * m:(2 * ci + 2) * m]
+                    blocks.extend([a_fac, ad_fac])
+                    # composed-verification bookkeeping: both the base
+                    # and the delta reconstruction go through B_t
+                    projs.extend([b_t, b_t])
+                    refs.extend([base / scale, dtab / scale])
+                    a_ref = a_fac.reshape(*node_shape, -1)
+                    for x, ax in zip(theta_ref_vec, axes):
+                        a_ref = np.tensordot(
+                            bary_vector_np(x, ax), a_ref, axes=(0, 0)
+                        )
+                    slots.append((
+                        slice(offset, offset + r_t),
+                        slice(offset + r_t, offset + 2 * r_t),
+                        np.asarray(a_ref, np.float64),
+                    ))
+                    offset += 2 * r_t
+                windows[key] = (tuple(slots), b_t, scale)
 
             stacked = np.concatenate(blocks, axis=1)  # [M, R_all]
             rep = compress(
@@ -419,7 +441,7 @@ def make_linear_chi2(
     ``gamma_fn(p) -> [J]`` required iff W is given.
     """
     bundle = _get_bundle(model, n_nodes)
-    handle = bundle.register(curve_fn, tag, key_extra)
+    handle = bundle.register((curve_fn,), tag, key_extra)
     if not _SCOPES:
         bundle.finalized()  # solo bundle: build now, never inside a trace
 
@@ -452,7 +474,8 @@ def make_linear_chi2(
             return _build_form(half_index)
 
     def _build_form(half_index):
-        sl_a, sl_d, b_t, a_ref, scale = handle.per_half[half_index]
+        slots, b_t, scale = handle.per_half[half_index]
+        sl_a, sl_d, a_ref = slots[0]
         v0 = b_t @ u0_c  # [R_t]
         bs_ref = beta_ref * scale
         v_ref = v0 - bs_ref * a_ref
@@ -504,12 +527,128 @@ def make_linear_chi2(
         return out
 
     def chi2(p):
-        kind, halves = bundle.finalized()
-        if kind == "split":
-            s = p["w0"] + p["wa"]
-            return jnp.where(
-                s <= 0.0, _half_chi2(p, 0), _half_chi2(p, 1)
-            )
-        return _half_chi2(p, 0)
+        return _dispatch_halves(bundle, p, _half_chi2)
+
+    return chi2
+
+
+def _dispatch_halves(bundle, p, half_fn):
+    """Evaluate ``half_fn(p, i)`` with the family's half-selection
+    rule. The split w0wacdm box evaluates BOTH halves under
+    ``jnp.where``: under the vmapped-walker batching every consumer
+    uses, ``lax.cond`` lowers to ``select`` anyway (both branches
+    execute per batch), and a measured cond-variant on the w0wacdm
+    flagship showed no win (see ARCHITECTURE.md, round 5) — the
+    seam stays branch-free and differentiable instead."""
+    kind, halves = bundle.finalized()
+    if kind == "split":
+        s = p["w0"] + p["wa"]
+        return jnp.where(s <= 0.0, half_fn(p, 0), half_fn(p, 1))
+    return half_fn(p, 0)
+
+
+def make_curve_values(model, curve_fn, tag, key_extra, n_nodes=None):
+    """Emulated ``fn(p) -> [K]`` curve values riding the bundle's single
+    shared contraction.
+
+    For terms whose metric is PARAMETER-DEPENDENT — the quasar
+    likelihood's diagonal ``sigma_i^2 + s^2`` (reference
+    quasars/qsr_desi.py:68-80) — chi^2 cannot be collapsed to a fixed
+    quadratic form at build time, but the geometry curve (here the
+    distance-modulus deviation mu(theta) - mu_ref) is still a smooth
+    function of the family's 1-3 parameters: register it in the bundle
+    and reconstruct the K data-space values per eval with one
+    [R_t, K] lift (2*K*R_t flops), then apply the parameter-dependent
+    metric analytically over the K components. Radiation enters as the
+    usual Or-secant axpy on the coefficient slice.
+    """
+    bundle = _get_bundle(model, n_nodes)
+    handle = bundle.register((curve_fn,), tag, key_extra)
+    if not _SCOPES:
+        bundle.finalized()
+
+    hi = jax.lax.Precision.HIGHEST
+    cache = {}
+
+    def _mats(half_index):
+        if cache.get("gen") != handle.gen:
+            cache.clear()
+            cache["gen"] = handle.gen
+        if half_index not in cache:
+            with jax.ensure_compile_time_eval():
+                slots, b_t, scale = handle.per_half[half_index]
+                sl_a, sl_d, _ = slots[0]
+                cache[half_index] = (sl_a, sl_d, jnp.asarray(scale * b_t))
+        return cache[half_index]
+
+    def _vals(p, half_index):
+        a_all = bundle.coeff(p, half_index)
+        sl_a, sl_d, b_scaled = _mats(half_index)
+        a = a_all[sl_a]
+        orr = p.get("Or", None)
+        if orr is not None:
+            a = a + (orr / OR_REF) * a_all[sl_d]
+        return jnp.tensordot(a, b_scaled, axes=(0, 0), precision=hi)
+
+    def values(p):
+        return _dispatch_halves(bundle, p, _vals)
+
+    return values
+
+
+def make_amp_pair_chi2(
+    model, curve_u_fn, curve_v_fn, tag, key_extra, amp_param: str,
+    n_nodes=None,
+):
+    """Emulated ``fn(p) -> |y_u(theta) - p[amp_param] * y_v(theta)|^2``.
+
+    The fs8 residual shape (reference fs8/fs8.py:72-85): a whitened
+    DATA-side curve y_u = Linv(fs8_obs * q_AP(theta)) minus an
+    amplitude-scaled whitened THEORY curve y_v = Linv fs8(theta)/s8,
+    both functions of the family geometry only. The two curves are
+    registered as one GROUP, so the joint SVD gives them a single
+    orthonormal basis: the runtime forms the rank-space RESIDUAL
+    coefficient r = scale*((a_u + t a_du) - amp*(a_v + t a_dv)) BEFORE
+    squaring — |r|^2 is exactly |y_u - amp y_v|^2 within the group
+    truncation contract, with none of the f32 cancellation a
+    |y_u|^2 - 2 amp y_u.y_v + amp^2 |y_v|^2 expansion would suffer
+    (each of those terms is ~30x chi^2 at the fs8 posterior bulk).
+    Measured on the narrowed multiprobe box: shared-basis rank 16 vs
+    9 + 10 separate, i.e. 4*16 = 64 bundle columns replace the
+    standalone fs8 Tucker program (16.8k flops/eval, 31% of the
+    multiprobe joint's wall time before this fold-in).
+    """
+    bundle = _get_bundle(model, n_nodes)
+    handle = bundle.register((curve_u_fn, curve_v_fn), tag, key_extra)
+    if not _SCOPES:
+        bundle.finalized()
+
+    hi = jax.lax.Precision.HIGHEST
+    cache = {}
+
+    def _slots(half_index):
+        if cache.get("gen") != handle.gen:
+            cache.clear()
+            cache["gen"] = handle.gen
+        if half_index not in cache:
+            slots, b_t, scale = handle.per_half[half_index]
+            (sl_au, sl_du, _), (sl_av, sl_dv, _) = slots
+            cache[half_index] = (sl_au, sl_du, sl_av, sl_dv, scale)
+        return cache[half_index]
+
+    def _half(p, half_index):
+        a_all = bundle.coeff(p, half_index)
+        sl_au, sl_du, sl_av, sl_dv, scale = _slots(half_index)
+        a_u, a_v = a_all[sl_au], a_all[sl_av]
+        orr = p.get("Or", None)
+        if orr is not None:
+            t = orr / OR_REF
+            a_u = a_u + t * a_all[sl_du]
+            a_v = a_v + t * a_all[sl_dv]
+        r = scale * (a_u - p[amp_param] * a_v)
+        return jnp.tensordot(r, r, axes=(0, 0), precision=hi)
+
+    def chi2(p):
+        return _dispatch_halves(bundle, p, _half)
 
     return chi2

@@ -368,6 +368,19 @@ to <= 0.06 sigma on all three families; the chen-compression rows —
 published *after* the z* switch — pass directly at <= 0.04, which
 isolates the drift to the desi-compression publication epoch.
 
+Unlike bao.desi_omh2_theta_star below, this family's drift is NOT
+closed by re-running with z_star="hu" (checked directly in round 5,
+f64 at the published medians): the Hu-Sugiyama variant drops the lcdm
+cmb chi2 from 80.8 to 1.67 (total 14.76 — still 3.0 above the
+published 11.76, so the lcdm row carries additional drift beyond z*),
+and it makes the other families far WORSE (wcdm/wzcdm/w0wacdm totals
+74.4/70.7/99.6 vs aizpuru's 11.72/12.20/8.04 against published
+11.51/11.77/6.81) — i.e. those rows were produced with the Aizpuru
+epoch's observables but differ by more than any single z*-formula
+switch can explain. No current-code configuration (either z* variant)
+reaches the published values; the current-code MAP remains the only
+exactly reproducible target, and the table reports both.
+
 **bao.desi_omh2_theta_star [all families]** — the published rows
 predate the current reference code's switch to the Aizpuru A4 z*
 formula. Evidence (tools/precheck_rows.py + a direct run of the
