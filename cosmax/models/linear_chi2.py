@@ -274,6 +274,18 @@ class _Bundle:
                         cf, flat, to_params_or, (map_tag, "or", OR_REF),
                         tag, ce,
                     ) - base
+                    for which, t in (("base", base), ("or-delta", d)):
+                        if not np.all(np.isfinite(t)):
+                            i = int(np.argwhere(
+                                ~np.isfinite(t).all(axis=-1)
+                            )[0, 0])
+                            raise FloatingPointError(
+                                f"linear_chi2 table '{tag}' ({which}) is "
+                                f"non-finite at grid node theta="
+                                f"{np.asarray(flat)[i].tolist()} — the "
+                                "padded domain left the curve's physical "
+                                "region (see set_scope_domains)"
+                            )
                     tabs.append((base, d))
                 # group scale: the truncation contract is held in the
                 # GROUP's units (one scale), so a multi-curve entry's
@@ -400,7 +412,26 @@ def set_scope_domains(bounds_by_name, pad: float = 0.03):
         if nm in bounds_by_name:
             lo, hi = bounds_by_name[nm]
             w = pad * (hi - lo)
-            domains[nm] = (float(lo - w), float(hi + w))
+            lo, hi = float(lo - w), float(hi + w)
+            # physical clamp: several presets bound Om at exactly 0 or
+            # 1 (e.g. sn.union3's (0, 1), reference sn/union3.py:48).
+            # Padding past either end lets a density coefficient go
+            # negative — Om < 0 directly, Om > 1 - OR_REF through
+            # Ode = 1 - Om - Or on the radiation-delta table — and the
+            # split w0wacdm grid's (wa, s) corners reach effective
+            # w0 = s - wa far outside the preset box, where a
+            # negative-Ode rho_de term drives E^2(z) < 0 -> NaN tables
+            # (caught by the finiteness check in _finalize). With
+            # Or, Om, Ode all >= 0 and rho_de > 0, E^2 > 0 for every
+            # family at ANY (w0, wa), so clamping Om to
+            # [0, 1 - OR_REF] is sufficient for all grids. An Om = 0
+            # box edge lands ON the grid's Lobatto endpoint (exact);
+            # an Om = 1 edge sits 2e-4 outside (negligible
+            # extrapolation of an analytic interpolant, far inside
+            # the truncation contract).
+            if nm == "Om":
+                lo, hi = max(lo, 0.0), min(hi, 1.0 - OR_REF)
+            domains[nm] = (lo, hi)
     for bundle in _SCOPES[-1].values():
         bundle.set_domains(domains)
 
