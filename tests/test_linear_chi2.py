@@ -233,6 +233,37 @@ def test_preset_domains_cover_prior_box(x64):
     assert all(np.isfinite(float(v)) for v in vals.values())
 
 
+def test_omega_edge_preset_builds(x64):
+    """Presets whose prior box bounds Om at exactly 0 or 1 (reference
+    sn/union3.py:48 etc.) must build finite emulator tables: the 3%
+    grid pad is clamped to the physical Om range [0, 1 - OR_REF]
+    (set_scope_domains), because a node with a negative density
+    coefficient drives E^2(z) < 0 -> NaN tables -> SVD failure at
+    finalize. w0wacdm is the worst case — its rotated (wa, s) grid
+    corners reach effective w0 = s - wa far outside the preset box.
+    Regression for the round-5 sweep failure."""
+    from cosmax.configs import get_preset
+
+    for name, model in (
+        ("sn.union3", "wcdm"),
+        ("sn.union3", "w0wacdm"),
+        ("sn.des5y_bins", "w0wacdm"),
+    ):
+        fit = get_preset(name, model, fast=True)
+        lo, hi = fit.spec.bounds[:, 0], fit.spec.bounds[:, 1]
+        for frac in (0.0, 0.5, 1.0):
+            theta = lo + frac * (hi - lo)
+            val = float(fit.log_prob()(np.asarray(theta)))
+            assert np.isfinite(val) or val == -np.inf, (name, model, frac)
+        # parity at the box midpoint (posterior-bulk-adjacent)
+        par = get_preset(name, model)
+        mid = 0.5 * (lo + hi)
+        fb = sum(float(v) for v in fit.chi2_breakdown()(mid).values())
+        pb = sum(float(v) for v in par.chi2_breakdown()(mid).values())
+        assert fb == pytest.approx(pb, abs=2e-4 * max(pb, 1.0) + 5e-2), (
+            name, model)
+
+
 def test_quasar_emulated_tracks_direct(x64):
     """The bundle-registered mu(z; theta) curve (make_curve_values)
     against the 3000-pt cumulative-trapezoid parity path, with the

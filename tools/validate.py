@@ -694,8 +694,25 @@ def main(argv=None):
         with open(sidecar, "w") as f:
             json.dump(results, f, default=float)
 
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = "unknown"
     lines = [
         "# VALIDATION — posterior parity vs published reference results",
+        "",
+        f"Generated {time.strftime('%Y-%m-%d %H:%M UTC', time.gmtime())} "
+        f"at commit {head} — i.e. through the PRODUCTION fast path as of",
+        "that commit (`get_preset(fast=True)`: the bundled rank-space",
+        "`models/linear_chi2` emulators for SN/BAO/CC/quasars/fs8 plus the",
+        "GL quadrature CMB term; see ARCHITECTURE.md 'One contraction per",
+        "joint'). Every row below was sampled end-to-end through exactly",
+        "the likelihood programs a user gets.",
         "",
         "Generated by tools/validate.py: each config sampled end-to-end with",
         "the fast-mode likelihoods and the reference's move mixture; medians",
