@@ -638,6 +638,13 @@ def run_case(name, model, kwargs, published, chi2_pub, extra=None, quick=False,
 
 
 def main(argv=None):
+    from cosmax.utils.cache import enable_compile_cache
+
+    # the sweep compiles ~76 whole-chain scan programs through the
+    # remote TPU compile service, which is sometimes minutes-slow under
+    # load (cosmax/utils/cache.py) — reuse executables across sweeps
+    # and between the ensemble and HMC passes
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="VALIDATION.md")
     ap.add_argument("--quick", action="store_true")
