@@ -101,6 +101,17 @@ def main(argv=None):
     n_walkers = args.walkers if args.walkers is not None else fit.n_walkers
     n_steps = args.steps if args.steps is not None else fit.n_steps
     burn_in = args.burn_in if args.burn_in is not None else fit.burn_in
+    if burn_in >= n_steps and args.burn_in is None:
+        # a --steps override below the preset's burn-in would retain
+        # zero samples; scale the preset burn down instead of crashing
+        # in the quantile reduction (keep an explicit --burn-in as
+        # given — then the empty-chain error below is the user's ask)
+        burn_in = n_steps // 2
+        print(f"# --steps {n_steps} <= preset burn-in {fit.burn_in}: "
+              f"clamping burn-in to {burn_in}")
+    if burn_in >= n_steps:
+        p.error(f"--burn-in {burn_in} must be < steps ({n_steps}): "
+                "no samples would remain")
     if n_walkers < 4:
         p.error(f"--walkers must be >= 4 (got {n_walkers})")
     if n_steps < 1:

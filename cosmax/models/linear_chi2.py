@@ -109,9 +109,17 @@ def _hash_arrays(*arrays):
     return h.hexdigest()
 
 
-def _cached_curve(curve_fn, flat, to_params, map_tag, tag, key_extra):
+def _cached_curve(model, curve_fn, flat, to_params, map_tag, tag, key_extra):
+    # ``model`` MUST be part of the key: the curve_fn closures the model
+    # family (e_of_z / growth_solution calls), but wcdm and wzcdm share
+    # pnames ("Om", "w0") — identical map_tag AND identical flat nodes
+    # whenever two presets' prior boxes coincide. Without the model tag
+    # whichever family built first poisoned the other's tables on disk
+    # (found by the round-5 validation sweep: fs8.fs8[wcdm] sampled a
+    # bit-identical copy of the wzcdm posterior).
     key = (
         "linear_curve",
+        model,
         tag,
         key_extra,
         map_tag,
@@ -269,10 +277,11 @@ class _Bundle:
                         key_extra if len(curve_fns) == 1
                         else (key_extra, ci)
                     )
-                    base = _cached_curve(cf, flat, to_params, map_tag, tag, ce)
+                    base = _cached_curve(
+                        self.model, cf, flat, to_params, map_tag, tag, ce)
                     d = _cached_curve(
-                        cf, flat, to_params_or, (map_tag, "or", OR_REF),
-                        tag, ce,
+                        self.model, cf, flat, to_params_or,
+                        (map_tag, "or", OR_REF), tag, ce,
                     ) - base
                     for which, t in (("base", base), ("or-delta", d)):
                         if not np.all(np.isfinite(t)):

@@ -360,3 +360,38 @@ def test_w0wacdm_seam_continuity(x64):
                 ref = max(1.0, abs(g[0]), abs(g[1]))
                 assert abs(g[0] - g[1]) <= 2e-2 * ref, (
                     term.name, k, om, w0, g)
+
+
+def test_table_cache_isolates_model_families(x64, tmp_path, monkeypatch):
+    """wcdm and wzcdm share pnames ("Om", "w0"), so their grid nodes
+    and map_tag are byte-identical on equal domains — the disk cache
+    key must separate their tables by itself (_cached_curve folds the
+    bundle's model in; SN/BAO/CC additionally tag per model, but the
+    fs8/quasar registrations did not). Regression for the round-5
+    sweep bug where fs8.fs8[wcdm] sampled a bit-identical copy of the
+    wzcdm posterior and qsr.*[wzcdm] drifted 0.37-0.47 sigma:
+    whichever family built its quasar/fs8 curve table first had
+    poisoned the shared cache entry for the other."""
+    from cosmax.data import load_quasars
+    from cosmax.likelihoods.fastmode import use_fast_mode
+    from cosmax.likelihoods.quasars import build_quasar_term
+
+    monkeypatch.setenv("COSMAX_TABLE_CACHE", str(tmp_path))
+    _, qz, qmu, qsig = load_quasars(22)
+    # build order matters: wcdm seeds the on-disk cache, wzcdm must
+    # NOT read it back (pre-fix it did, so em_z tracked dr_w)
+    with use_fast_mode():
+        em_w = build_quasar_term(qz, qmu, qsig, "wcdm")
+        em_z = build_quasar_term(qz, qmu, qsig, "wzcdm")
+    dr_w = build_quasar_term(qz, qmu, qsig, "wcdm")
+    dr_z = build_quasar_term(qz, qmu, qsig, "wzcdm")
+    pts = _points(
+        np.random.default_rng(11), 4, "wcdm",
+        {"dM_qsr": (-0.4, 0.4), "s": (0.05, 1.2)},
+    )
+    _sweep(dr_w, em_w, pts, tol=2e-2)
+    _sweep(dr_z, em_z, pts, tol=2e-2)
+    # and the two families genuinely differ at w0 != -1 (guards the
+    # test itself against a degenerate point choice)
+    p = dict(pts[0], w0=-0.6)
+    assert abs(float(dr_w.chi2(p)) - float(dr_z.chi2(p))) > 0.5
